@@ -1,0 +1,82 @@
+"""Command-line driver: ``python -m mfcc_tpu <wav|dir|list.txt>``.
+
+The fixed-pipeline CLI in the spirit of the reference's ``./mfcc <file.c>``
+(``/root/reference/src/mfcc/main.c:47-60``) — but with a real flag surface
+(the reference hardcodes its output path, target, and debug dump; SURVEY.md
+§5 config): every numerical knob of FeatureConfig is settable, the config
+hash is recorded in the run report, and output is .npy per utterance.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import FeatureConfig
+from .runner import RunnerOptions, run
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mfcc_tpu",
+        description="TPU-native MFCC / log-mel feature extraction")
+    p.add_argument("input", help=".wav file, directory, or .txt listing")
+    p.add_argument("-o", "--out", default="features", help="output directory")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore existing manifest")
+    p.add_argument("--trace-dir", default=None,
+                   help="emit a jax.profiler trace here")
+
+    f = p.add_argument_group("feature config")
+    f.add_argument("--sample-rate", type=int, default=16000)
+    f.add_argument("--frame-ms", type=float, default=25.0)
+    f.add_argument("--hop-ms", type=float, default=10.0)
+    f.add_argument("--n-fft", type=int, default=512)
+    f.add_argument("--window", default="hamming",
+                   choices=["hamming", "hann", "povey", "rect"])
+    f.add_argument("--preemph", type=float, default=0.97)
+    f.add_argument("--n-mels", type=int, default=26)
+    f.add_argument("--n-mfcc", type=int, default=13)
+    f.add_argument("--fmin", type=float, default=0.0)
+    f.add_argument("--fmax", type=float, default=None)
+    f.add_argument("--mel-scale", default="htk", choices=["htk", "slaney"])
+    f.add_argument("--lifter", type=int, default=0)
+    f.add_argument("--append-energy", action="store_true")
+    f.add_argument("--deltas", action="store_true",
+                   help="append delta + delta-delta")
+    f.add_argument("--cmvn", action="store_true",
+                   help="two-pass global mean/variance normalization")
+    f.add_argument("--logmel", action="store_true",
+                   help="log-mel filterbank output (skip DCT)")
+    return p
+
+
+def config_from_args(a) -> FeatureConfig:
+    n_mels = a.n_mels
+    n_mfcc = n_mels if a.logmel else a.n_mfcc
+    return FeatureConfig(
+        sample_rate=a.sample_rate, frame_ms=a.frame_ms, hop_ms=a.hop_ms,
+        n_fft=a.n_fft, window=a.window, preemph=a.preemph,
+        n_mels=n_mels, n_mfcc=n_mfcc, fmin=a.fmin, fmax=a.fmax,
+        mel_scale=a.mel_scale, lifter=a.lifter,
+        append_energy=a.append_energy, deltas=a.deltas, cmvn=a.cmvn,
+    ).validate()
+
+
+def main(argv=None) -> int:
+    a = build_parser().parse_args(argv)
+    cfg = config_from_args(a)
+    opts = RunnerOptions(
+        out_dir=a.out, batch_size=a.batch_size, logmel=a.logmel,
+        resume=not a.no_resume, trace_dir=a.trace_dir)
+    rep = run(a.input, cfg, opts)
+    print(rep.dump())
+    if rep.n_utterances == 0:
+        print("no utterances processed", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,131 @@
+"""Feature-extraction configuration.
+
+The reference compiler's entire configuration surface is a single ignored
+``BuildTargetType`` enum plus hardcoded constants (``/root/reference/src/mfcc/
+mfcc.h:15-21``, ``main.c:107``).  This framework replaces that with one frozen
+dataclass that fully determines the numerical contract of the pipeline: every
+stage (framing, window, DFT, mel, log, DCT, deltas, CMVN) reads only from this
+object, and a stable hash of it is recorded alongside emitted features so runs
+are reproducible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from typing import Optional
+
+
+# Window types supported by build_window() in ops/framing.py.
+WINDOWS = ("hamming", "hann", "povey", "rect")
+# Mel-scale conventions supported by ops/mel.py.
+MEL_SCALES = ("htk", "slaney")
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Frozen numerical contract for the MFCC / log-mel front-end.
+
+    Defaults give the classic 16 kHz, 25 ms / 10 ms, MFCC-13 front-end from
+    the project baseline (BASELINE.json `metric`).
+    """
+
+    # --- sampling / framing ---------------------------------------------
+    sample_rate: int = 16_000
+    frame_ms: float = 25.0
+    hop_ms: float = 10.0
+    # --- spectral --------------------------------------------------------
+    n_fft: int = 512
+    window: str = "hamming"
+    preemph: float = 0.97          # 0.0 disables pre-emphasis
+    # --- mel -------------------------------------------------------------
+    n_mels: int = 26
+    fmin: float = 0.0
+    fmax: Optional[float] = None   # None -> Nyquist
+    mel_scale: str = "htk"
+    # --- cepstral --------------------------------------------------------
+    n_mfcc: int = 13
+    log_floor: float = 1e-10       # floor inside log(max(E, floor))
+    lifter: int = 0                # 0 disables cepstral liftering
+    append_energy: bool = False    # replace c0 with log frame energy
+    # --- post ------------------------------------------------------------
+    deltas: bool = False           # append delta + delta-delta
+    delta_window: int = 2
+    cmvn: bool = False             # per-corpus cepstral mean/var norm
+    # --- numerics --------------------------------------------------------
+    compute_dtype: str = "float32"   # "float32" | "bfloat16" (matmul inputs)
+    accum_dtype: str = "float32"     # accumulation dtype (keep float32)
+
+    # --- derived sizes ---------------------------------------------------
+    @property
+    def frame_len(self) -> int:
+        return int(round(self.sample_rate * self.frame_ms / 1000.0))
+
+    @property
+    def hop_len(self) -> int:
+        return int(round(self.sample_rate * self.hop_ms / 1000.0))
+
+    @property
+    def n_bins(self) -> int:
+        """Number of non-redundant rFFT bins."""
+        return self.n_fft // 2 + 1
+
+    @property
+    def fmax_hz(self) -> float:
+        return self.sample_rate / 2.0 if self.fmax is None else float(self.fmax)
+
+    @property
+    def n_feats(self) -> int:
+        """Final feature dimension (after optional deltas)."""
+        base = self.n_mfcc
+        return base * 3 if self.deltas else base
+
+    def num_frames(self, n_samples: int) -> int:
+        """Frames emitted for an ``n_samples``-long signal.
+
+        "Valid" framing: the last partial frame is dropped; no padding.  This
+        keeps every stage static-shape under jit.  A signal shorter than one
+        frame yields zero frames.
+        """
+        if n_samples < self.frame_len:
+            return 0
+        return 1 + (n_samples - self.frame_len) // self.hop_len
+
+    def validate(self) -> "FeatureConfig":
+        if self.window not in WINDOWS:
+            raise ValueError(f"window must be one of {WINDOWS}, got {self.window!r}")
+        if self.mel_scale not in MEL_SCALES:
+            raise ValueError(
+                f"mel_scale must be one of {MEL_SCALES}, got {self.mel_scale!r}")
+        if self.n_fft < self.frame_len:
+            raise ValueError(
+                f"n_fft ({self.n_fft}) must be >= frame_len ({self.frame_len})")
+        if self.n_mfcc > self.n_mels:
+            raise ValueError("n_mfcc must be <= n_mels")
+        if not (0.0 <= self.preemph < 1.0):
+            raise ValueError("preemph must be in [0, 1)")
+        if self.fmax is not None and self.fmax <= self.fmin:
+            raise ValueError("fmax must be > fmin")
+        return self
+
+    # --- reproducibility -------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    def config_hash(self) -> str:
+        """Stable short hash of the numerical contract, recorded in outputs."""
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:12]
+
+    def replace(self, **kw) -> "FeatureConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Named presets matching the baseline's five configs (BASELINE.md).
+MFCC13 = FeatureConfig().validate()
+LOGMEL80 = FeatureConfig(n_mels=80, n_mfcc=80, deltas=True).validate()
+
+
+def logmel_config(n_mels: int = 80, deltas: bool = True) -> FeatureConfig:
+    """Log-mel variant: mel energies + log, DCT skipped (models/logmel.py)."""
+    return FeatureConfig(n_mels=n_mels, n_mfcc=n_mels, deltas=deltas).validate()

@@ -1,0 +1,9 @@
+"""Feature pipelines ("models") built from the ops stages.
+
+- :mod:`mfcc`      — flagship MFCC-13 pipeline (single + batched/ragged)
+- :mod:`logmel`    — log-mel-80 variant (DCT skipped) with delta appends
+- :mod:`streaming` — chunked low-latency STFT with overlap carry state
+- :mod:`trainable` — learnable filterbank front-end (training-step demo)
+"""
+
+from . import mfcc, logmel  # noqa: F401

@@ -1,0 +1,84 @@
+"""The flagship MFCC pipeline.
+
+Composes the ops stages frame -> power -> log-mel -> DCT under a single
+``jax.jit`` so XLA fuses the elementwise stages into the GEMMs — the TPU
+analog of the reference compiler's fixed lex->parse->codegen driver
+(``/root/reference/src/mfcc/main.c:72-107``), with the same strict
+inter-stage data contracts but data-parallel over frames and utterances.
+
+Two entry points:
+
+- :func:`mfcc` — one utterance, shape-static.
+- :func:`mfcc_batch` — padded ragged batch + per-utterance sample lengths;
+  returns features, true frame counts, and a frame validity mask.  Padded
+  frames are computed-then-masked (branch-free; the MXU doesn't care) and
+  zeroed so downstream masked reductions (CMVN) are exact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FeatureConfig
+from ..ops import framing, spectrum, mel, dct, deltas as deltas_op
+
+
+def _features(frames: jnp.ndarray, cfg: FeatureConfig,
+              lengths: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Shared core: (..., T, frame_len) frames -> (..., T, n_feats)."""
+    power = spectrum.power_spectrum(frames, cfg)
+    logmel = mel.log_mel_energies(power, cfg)
+    feat = dct.cepstra(logmel, cfg)
+    if cfg.append_energy:
+        e = framing.log_energy(frames, cfg)
+        feat = feat.at[..., 0].set(e)
+    if cfg.deltas:
+        feat = deltas_op.append_deltas(feat, cfg, lengths)
+    return feat
+
+
+def mfcc(x: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """(n_samples,) PCM in [-1, 1] -> (T, n_feats) features."""
+    frames = framing.frame(x, cfg)
+    return _features(frames, cfg)
+
+
+def frame_lengths(sample_lengths: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """Per-utterance true frame counts ('valid' framing, zero if too short)."""
+    n = (sample_lengths - cfg.frame_len) // cfg.hop_len + 1
+    return jnp.maximum(n, 0).astype(jnp.int32)
+
+
+def frame_mask(T: int, flens: jnp.ndarray) -> jnp.ndarray:
+    """(B, T) bool validity mask from (B,) frame counts."""
+    t = jnp.arange(T, dtype=jnp.int32)
+    return t[None, :] < flens[:, None]
+
+
+def mfcc_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
+               cfg: FeatureConfig):
+    """(B, N_pad), (B,) -> ((B, T, n_feats), (B,) frame counts, (B, T) mask).
+
+    Padded-region frames are fully computed then zeroed — keeping every
+    shape static and every op branch-free is the fast path on TPU.
+    """
+    frames = framing.frame_batch(x, cfg)
+    flens = frame_lengths(sample_lengths, cfg)
+    feat = _features(frames, cfg, lengths=flens if cfg.deltas else None)
+    mask = frame_mask(feat.shape[-2], flens)
+    feat = jnp.where(mask[..., None], feat, 0.0)
+    return feat, flens, mask
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mfcc_jit(x: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    return mfcc(x, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mfcc_batch_jit(x: jnp.ndarray, sample_lengths: jnp.ndarray,
+                   cfg: FeatureConfig):
+    return mfcc_batch(x, sample_lengths, cfg)

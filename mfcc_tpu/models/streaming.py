@@ -1,0 +1,134 @@
+"""Streaming / chunked MFCC — online low-latency emission (config 4).
+
+The reference's "sequence length" analog is a 1 MiB hard cap with strictly
+sequential processing (``/root/reference/src/mfcc/mfcc.h:10``,
+``main.c:137-141``).  Here unbounded audio streams through fixed-shape
+chunks, so jit compiles exactly once and ``lax.scan`` drives long signals:
+
+- A chunk is ``chunk_frames * hop_len`` samples (hop-aligned, static).
+- State carries the last ``frame_len`` samples (enough history for any
+  frame whose *end* lands in the next chunk, plus the pre-emphasis
+  predecessor), the running sample count, and the emitted-frame count.
+- Each step emits exactly ``chunk_frames`` feature slots plus a validity
+  count: slots for frames whose final sample arrived within this chunk.
+  Early in the stream fewer frames are complete; extra slots are masked.
+
+Bit-exactness contract: feeding chunks through :func:`process_chunk`
+yields exactly the frames of the batch pipeline on the concatenated
+signal (tests/test_streaming.py), including pre-emphasis continuity
+across chunk boundaries (the HTK x[-1] := x[0] convention is applied
+once, at the true start of the stream).
+
+Delta/CMVN post-processing is frame-local only across a ±delta_window
+halo, so it is applied downstream by the consumer (or with
+:func:`mfcc_tpu.ops.deltas` over a sliding window); the streaming core
+emits static (or energy-substituted) cepstra.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FeatureConfig
+from ..ops import framing, spectrum, mel, dct
+
+
+class StreamState(NamedTuple):
+    carry: jnp.ndarray         # (frame_len,) trailing samples
+    samples_seen: jnp.ndarray  # () int32
+    frames_done: jnp.ndarray   # () int32  frames emitted so far
+
+
+def init_state(cfg: FeatureConfig, dtype=jnp.float32) -> StreamState:
+    return StreamState(
+        carry=jnp.zeros((cfg.frame_len,), dtype),
+        samples_seen=jnp.zeros((), jnp.int32),
+        frames_done=jnp.zeros((), jnp.int32),
+    )
+
+
+def _num_frames_dyn(n_samples: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """Traced version of FeatureConfig.num_frames."""
+    return jnp.maximum((n_samples - cfg.frame_len) // cfg.hop_len + 1, 0)
+
+
+def process_chunk(state: StreamState, chunk: jnp.ndarray,
+                  cfg: FeatureConfig):
+    """One streaming step.
+
+    chunk: (chunk_frames * hop_len,) new samples (static length).
+    Returns (new_state, feats (chunk_frames, n_mfcc), n_valid ()).
+    Slot j holds global frame ``state.frames_done + j``; slots with
+    j >= n_valid are zeroed.
+    """
+    fl, hop = cfg.frame_len, cfg.hop_len
+    C = chunk.shape[0]
+    if C % hop != 0:
+        raise ValueError(f"chunk length {C} must be a multiple of hop {hop}")
+    n_slots = C // hop
+
+    carry = state.carry
+    # stream start: pre-emphasis predecessor of sample 0 is sample 0 itself
+    carry = jnp.where(state.samples_seen == 0,
+                      carry.at[-1].set(chunk[0]), carry)
+    buf = jnp.concatenate([carry, chunk])  # (fl + C,)
+
+    # slot j -> global frame g = frames_done + j, start sample g*hop,
+    # buffer position start - samples_seen + fl  (buf[0] is global sample
+    # samples_seen - fl)
+    j = jnp.arange(n_slots, dtype=jnp.int32)
+    p0 = (state.frames_done + j) * hop - state.samples_seen + fl
+    idx = p0[:, None] + jnp.arange(fl, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(idx, 0, buf.shape[0] - 1)         # invalid slots clamped
+    frames = buf[idx]
+    if cfg.preemph > 0.0:
+        prev = buf[jnp.maximum(idx - 1, 0)]
+        frames = frames - jnp.asarray(cfg.preemph, buf.dtype) * prev
+
+    power = spectrum.power_spectrum(frames, cfg)
+    logmel = mel.log_mel_energies(power, cfg)
+    feat = dct.cepstra(logmel, cfg)
+    if cfg.append_energy:
+        feat = feat.at[..., 0].set(framing.log_energy(frames, cfg))
+
+    new_seen = state.samples_seen + C
+    total_frames = _num_frames_dyn(new_seen, cfg)
+    n_valid = total_frames - state.frames_done
+    feat = jnp.where((j < n_valid)[:, None], feat, 0.0)
+
+    new_state = StreamState(
+        carry=buf[C:],
+        samples_seen=new_seen,
+        frames_done=total_frames,
+    )
+    return new_state, feat, n_valid
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def process_chunk_jit(state: StreamState, chunk: jnp.ndarray,
+                      cfg: FeatureConfig):
+    return process_chunk(state, chunk, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk_frames"))
+def stream_signal(x: jnp.ndarray, cfg: FeatureConfig,
+                  chunk_frames: int = 64):
+    """Whole-signal streaming via lax.scan (reference/testing path).
+
+    x length must be a multiple of chunk_frames*hop; returns
+    (feats (n_chunks*chunk_frames, n_mfcc), valid_total ()).
+    """
+    C = chunk_frames * cfg.hop_len
+    n_chunks = x.shape[0] // C
+    chunks = x[: n_chunks * C].reshape(n_chunks, C)
+
+    def step(st, ch):
+        st, feat, nv = process_chunk(st, ch, cfg)
+        return st, feat
+
+    final, feats = jax.lax.scan(step, init_state(cfg, x.dtype), chunks)
+    return feats.reshape(n_chunks * chunk_frames, -1), final.frames_done

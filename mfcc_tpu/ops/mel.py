@@ -1,0 +1,49 @@
+"""Mel filterbank projection (JAX).
+
+The (n_bins, n_mels) triangular filterbank is a constant matrix built in
+float64 by the oracle (single source of truth for the mel conventions —
+see oracle.mel_filterbank) and applied as one GEMM.  This replaces the
+scalar triangular-filter accumulation loops the baseline calls out
+(BASELINE.json north star: "triangular filter sums" -> MXU matmul).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import FeatureConfig
+from .. import oracle
+from . import xmath
+
+
+@functools.lru_cache(maxsize=32)
+def _mel_matrix_cached(key) -> np.ndarray:
+    cfg = FeatureConfig(**dict(key))
+    return oracle.mel_filterbank(cfg).T.copy()  # (n_bins, n_mels)
+
+
+def mel_matrix(cfg: FeatureConfig) -> np.ndarray:
+    """(n_bins, n_mels) float64 filterbank, cached per config."""
+    import dataclasses
+    return _mel_matrix_cached(tuple(sorted(dataclasses.asdict(cfg).items())))
+
+
+def log_mel_energies(
+    power: jnp.ndarray,
+    cfg: FeatureConfig,
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """(..., T, n_bins) power -> (..., T, n_mels) floored log mel energies.
+
+    Uses xmath.floored_log rather than the hardware log: XLA's f32 log
+    approximation errs ~1e-4 absolute, which alone would consume the
+    pipeline's accuracy budget (see ops/xmath.py).
+    """
+    fb = jnp.asarray(mel_matrix(cfg), jnp.dtype(cfg.accum_dtype))
+    e = jnp.matmul(power, fb, precision=precision)
+    return xmath.floored_log(e, cfg.log_floor)

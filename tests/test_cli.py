@@ -1,0 +1,102 @@
+"""End-to-end CLI tests — the framework's outermost surface, exercised the
+way the reference exercises its binary (/root/reference/test/run.sh): run
+the real entry point on real files, check behavior + outputs differentially
+against the oracle."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mfcc_tpu import FeatureConfig, oracle
+from mfcc_tpu.utils import wav
+
+
+def _mk_corpus(tmp_path, rng, n=5):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    sigs = {}
+    for i in range(n):
+        x = (rng.standard_normal(int(rng.integers(8000, 24000)))
+             * 0.3).astype(np.float32)
+        p = d / f"utt{i}.wav"
+        wav.write_wav(p, x, 16000)
+        # reread: features are computed on the PCM16-quantized signal
+        sigs[f"utt{i}"], _ = wav._parse(open(p, "rb").read(), None)
+    return d, sigs
+
+
+def _run_cli(args, cwd):
+    # strip the image's axon sitecustomize (PYTHONPATH) so JAX_PLATFORMS=cpu
+    # takes effect in the child process
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    return subprocess.run(
+        [sys.executable, "-m", "mfcc_tpu", *args],
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=600)
+
+
+@pytest.mark.slow
+def test_cli_corpus_end_to_end(tmp_path, rng):
+    d, sigs = _mk_corpus(tmp_path, rng)
+    out = tmp_path / "feats"
+    r = _run_cli([str(d), "-o", str(out), "--batch-size", "4"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    cfg = FeatureConfig()
+    for name, sig in sigs.items():
+        feat = np.load(out / f"{name}.npy")
+        want = oracle.mfcc(sig.astype(np.float64), cfg)
+        assert feat.shape == want.shape
+        np.testing.assert_allclose(feat, want, atol=1e-4)
+    rep = json.loads((out / "run_report.0.json").read_text())
+    assert rep["n_utterances"] == len(sigs)
+    assert rep["config_hash"] == cfg.config_hash()
+
+
+@pytest.mark.slow
+def test_cli_resume_skips_done(tmp_path, rng):
+    d, sigs = _mk_corpus(tmp_path, rng, n=3)
+    out = tmp_path / "feats"
+    r1 = _run_cli([str(d), "-o", str(out)], tmp_path)
+    assert r1.returncode == 0, r1.stderr
+    r2 = _run_cli([str(d), "-o", str(out)], tmp_path)
+    assert r2.returncode != 0  # nothing left to do -> exit 1 + message
+    assert "no utterances" in r2.stderr
+
+
+@pytest.mark.slow
+def test_cli_quarantines_bad_wav(tmp_path, rng):
+    d, sigs = _mk_corpus(tmp_path, rng, n=2)
+    (d / "corrupt.wav").write_bytes(b"RIFF....WAVEnope")
+    out = tmp_path / "feats"
+    r = _run_cli([str(d), "-o", str(out)], tmp_path)
+    assert r.returncode == 0, r.stderr          # job survives
+    assert "quarantine" in r.stdout
+    assert not (out / "corrupt.npy").exists()
+    assert (out / "utt0.npy").exists()
+
+
+@pytest.mark.slow
+def test_cli_logmel_cmvn(tmp_path, rng):
+    d, sigs = _mk_corpus(tmp_path, rng, n=4)
+    out = tmp_path / "feats"
+    r = _run_cli([str(d), "-o", str(out), "--logmel", "--n-mels", "32",
+                  "--cmvn"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    # normalized corpus: frame-weighted mean ~0, std ~1 per dim
+    allf = np.concatenate([np.load(out / f"{n}.npy") for n in sigs])
+    np.testing.assert_allclose(allf.mean(axis=0), 0.0, atol=1e-3)
+    np.testing.assert_allclose(allf.std(axis=0), 1.0, atol=1e-2)
+    assert (out / "cmvn.npz").exists()
+
+
+def test_cli_bad_args():
+    r = subprocess.run(
+        [sys.executable, "-m", "mfcc_tpu", "nonexistent_dir_xyz",
+         "--window", "blackman"],
+        capture_output=True, text=True,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo"),
+        timeout=120)
+    assert r.returncode == 2  # argparse rejects the choice

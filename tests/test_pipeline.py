@@ -1,0 +1,137 @@
+"""Differential tests: JAX pipeline vs the float64 oracle, atol 1e-4.
+
+The TPU analog of the reference's behavior-level differential harness
+(/root/reference/test/run.sh — compiled output vs expected exit status):
+every stage and the end-to-end pipeline are compared numerically against
+the independent float64 implementation.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mfcc_tpu import FeatureConfig, oracle
+from mfcc_tpu.models import mfcc as mfcc_model, logmel as logmel_model
+from mfcc_tpu.ops import framing, spectrum, mel, dct, deltas as deltas_op
+
+ATOL = 1e-4
+CFG = FeatureConfig()
+
+
+def test_frame_stage_parity(speechlike):
+    got = np.asarray(framing.frame(jnp.asarray(speechlike), CFG))
+    want = oracle.frame_signal(speechlike, CFG)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_power_stage_parity(speechlike):
+    frames64 = oracle.frame_signal(speechlike, CFG)
+    got = np.asarray(spectrum.power_spectrum(
+        jnp.asarray(frames64, jnp.float32), CFG))
+    want = oracle.power_spectrum(frames64, CFG)
+    # power values span ~[0, 1e4]; relative tolerance is the right check here
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_logmel_stage_parity(speechlike):
+    frames64 = oracle.frame_signal(speechlike, CFG)
+    # isolate the stage: feed oracle the same f32-rounded input
+    power32 = oracle.power_spectrum(frames64, CFG).astype(np.float32)
+    got = np.asarray(mel.log_mel_energies(jnp.asarray(power32), CFG))
+    want = oracle.log_mel_energies(power32.astype(np.float64), CFG)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_dct_stage_parity(speechlike):
+    frames64 = oracle.frame_signal(speechlike, CFG)
+    lm64 = oracle.log_mel_energies(oracle.power_spectrum(frames64, CFG), CFG)
+    got = np.asarray(dct.cepstra(jnp.asarray(lm64, jnp.float32), CFG))
+    want = oracle.cepstra(lm64, CFG)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_end_to_end_parity(speechlike):
+    got = np.asarray(mfcc_model.mfcc_jit(jnp.asarray(speechlike), CFG))
+    want = oracle.mfcc(speechlike, CFG)
+    assert got.shape == want.shape == (98, 13)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+@pytest.mark.parametrize("variant", [
+    dict(lifter=22),
+    dict(append_energy=True),
+    dict(deltas=True),
+    dict(window="povey"),
+    dict(window="hann"),
+    dict(preemph=0.0),
+    dict(mel_scale="slaney"),
+    dict(n_mels=80, n_mfcc=80),
+    dict(n_mels=40, n_mfcc=20, fmin=20.0, fmax=7600.0),
+])
+def test_end_to_end_parity_variants(speechlike, variant):
+    cfg = FeatureConfig(**variant).validate()
+    got = np.asarray(mfcc_model.mfcc_jit(jnp.asarray(speechlike), cfg))
+    want = oracle.mfcc(speechlike, cfg)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_logmel_end_to_end_parity(speechlike):
+    cfg = FeatureConfig(n_mels=80, n_mfcc=80, deltas=True).validate()
+    got = np.asarray(logmel_model.log_mel_jit(jnp.asarray(speechlike), cfg))
+    want = oracle.log_mel(speechlike, cfg)
+    assert got.shape == want.shape == (98, 240)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def _ragged_batch(rng, lens, pad):
+    xs = np.zeros((len(lens), pad), np.float32)
+    sigs = []
+    for i, L in enumerate(lens):
+        s = (0.5 * rng.standard_normal(L)).astype(np.float32)
+        xs[i, :L] = s
+        sigs.append(s)
+    return xs, sigs
+
+
+def test_batched_ragged_parity(rng):
+    lens = [16000, 12345, 8000, 399]  # last one too short -> 0 frames
+    xs, sigs = _ragged_batch(rng, lens, 16000)
+    feat, flens, mask = mfcc_model.mfcc_batch_jit(
+        jnp.asarray(xs), jnp.asarray(lens), CFG)
+    feat = np.asarray(feat)
+    flens = np.asarray(flens)
+    mask = np.asarray(mask)
+    for i, sig in enumerate(sigs):
+        want = oracle.mfcc(sig, CFG)
+        assert flens[i] == want.shape[0]
+        np.testing.assert_allclose(feat[i, :flens[i]], want, atol=ATOL)
+        # padded region exactly zero
+        assert np.all(feat[i, flens[i]:] == 0.0)
+        assert mask[i].sum() == flens[i]
+
+
+def test_batched_ragged_deltas_edge_correct(rng):
+    """Deltas at the ragged edge must replicate the last REAL frame."""
+    cfg = CFG.replace(deltas=True)
+    lens = [16000, 9000]
+    xs, sigs = _ragged_batch(rng, lens, 16000)
+    feat, flens, _ = mfcc_model.mfcc_batch_jit(
+        jnp.asarray(xs), jnp.asarray(lens), cfg)
+    feat = np.asarray(feat)
+    for i, sig in enumerate(sigs):
+        want = oracle.mfcc(sig, cfg)
+        np.testing.assert_allclose(feat[i, :want.shape[0]], want, atol=ATOL)
+
+
+def test_deltas_op_matches_oracle(rng):
+    f = rng.standard_normal((30, 13)).astype(np.float32)
+    got = np.asarray(deltas_op.deltas(jnp.asarray(f), 2))
+    want = oracle.deltas(f.astype(np.float64), 2)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_short_signal_zero_frames():
+    x = jnp.zeros(100, jnp.float32)
+    feat = mfcc_model.mfcc_jit(x, CFG)
+    assert feat.shape == (0, 13)

@@ -1,0 +1,79 @@
+"""Streaming == batch bit-exactness (config 4 contract)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mfcc_tpu import FeatureConfig, oracle
+from mfcc_tpu.models import streaming, mfcc as mfcc_model
+
+CFG = FeatureConfig()
+ATOL = 1e-4
+
+
+def _stream_all(x, cfg, chunk_frames):
+    """Feed x chunk by chunk through process_chunk_jit, collect valid."""
+    C = chunk_frames * cfg.hop_len
+    n_chunks = len(x) // C
+    st = streaming.init_state(cfg)
+    out = []
+    for k in range(n_chunks):
+        st, feat, nv = streaming.process_chunk_jit(
+            st, jnp.asarray(x[k * C:(k + 1) * C]), cfg)
+        out.append(np.asarray(feat)[: int(nv)])
+    return np.concatenate(out), st
+
+
+def test_streaming_matches_batch(speechlike):
+    got, st = _stream_all(speechlike, CFG, chunk_frames=10)
+    want = np.asarray(mfcc_model.mfcc_jit(jnp.asarray(speechlike), CFG))
+    # streaming emits only frames fully contained in delivered samples
+    assert got.shape[0] == CFG.num_frames(len(speechlike))
+    np.testing.assert_allclose(got, want[: got.shape[0]], atol=1e-5)
+
+
+def test_streaming_matches_oracle(speechlike):
+    got, _ = _stream_all(speechlike, CFG, chunk_frames=25)
+    want = oracle.mfcc(speechlike, CFG)
+    np.testing.assert_allclose(got, want[: got.shape[0]], atol=ATOL)
+
+
+def test_streaming_chunk_size_invariance(speechlike):
+    a, _ = _stream_all(speechlike[:16000], CFG, chunk_frames=5)
+    b, _ = _stream_all(speechlike[:16000], CFG, chunk_frames=20)
+    n = min(a.shape[0], b.shape[0])
+    np.testing.assert_allclose(a[:n], b[:n], atol=1e-6)
+
+
+def test_streaming_first_chunk_partial():
+    """First chunks shorter than a frame emit zero valid frames."""
+    cfg = CFG
+    st = streaming.init_state(cfg)
+    chunk = jnp.zeros(cfg.hop_len, jnp.float32)  # 160 samples < 400
+    st, feat, nv = streaming.process_chunk_jit(st, chunk, cfg)
+    assert int(nv) == 0
+    st, feat, nv = streaming.process_chunk_jit(st, chunk, cfg)
+    assert int(nv) == 0
+    st, feat, nv = streaming.process_chunk_jit(st, chunk, cfg)
+    assert int(nv) == 1  # 480 samples -> first 400-sample frame complete
+
+
+def test_scan_driver_matches_stepwise(speechlike):
+    x = speechlike[: 16000 - 16000 % (8 * CFG.hop_len)]
+    feats, total = streaming.stream_signal(jnp.asarray(x), CFG, chunk_frames=8)
+    stepwise, _ = _stream_all(x, CFG, chunk_frames=8)
+    feats = np.asarray(feats)
+    # scan output is slot-aligned; compact valid rows = stepwise concat
+    assert int(total) == stepwise.shape[0]
+    want = oracle.mfcc(x, CFG)[: int(total)]
+    # gather the valid slots: they are the first `nv_k` of each chunk's slots,
+    # cumulative == frames_done ordering; compare the nonzero rows
+    nz = np.where(np.any(feats != 0.0, axis=1))[0]
+    np.testing.assert_allclose(feats[nz][: want.shape[0]], want, atol=ATOL)
+
+
+def test_preemph_continuity_across_chunks(rng):
+    """The chunk-boundary predecessor sample must come from the prev chunk."""
+    x = rng.standard_normal(8000).astype(np.float32)
+    got, _ = _stream_all(x, CFG, chunk_frames=4)
+    want = oracle.mfcc(x.astype(np.float64), CFG)
+    np.testing.assert_allclose(got, want[: got.shape[0]], atol=ATOL)
