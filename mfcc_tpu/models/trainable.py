@@ -79,8 +79,13 @@ def loss_fn(params: FrontendParams, audio: jnp.ndarray,
     return jnp.mean((pred - target) ** 2)
 
 
-def make_optimizer(lr: float = 1e-3):
-    return optax.adam(lr)
+def make_optimizer(lr: float = 1e-3, decay_steps: int | None = None):
+    """Adam with global-norm clipping (the 1/E gradient through the log
+    compression spans orders of magnitude across bands) and optional
+    cosine decay (fixed-lr adam oscillates once near the optimum)."""
+    sched = lr if decay_steps is None else optax.cosine_decay_schedule(
+        lr, decay_steps)
+    return optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimizer"))
@@ -91,6 +96,10 @@ def train_step(params: FrontendParams, opt_state, audio: jnp.ndarray,
     loss, grads = jax.value_and_grad(loss_fn)(params, audio, target, cfg)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
+    # projected gradient: filter weights are physically nonnegative, and a
+    # negative excursion floor-clamps that band's energy (dead band, loss
+    # spike) — project back instead of letting momentum carry it under
+    params = params._replace(mel_w=jnp.maximum(params.mel_w, 0.0))
     return params, opt_state, loss
 
 
@@ -98,7 +107,7 @@ def fit(audio: np.ndarray, target: np.ndarray, cfg: FeatureConfig,
         steps: int = 100, lr: float = 1e-3):
     """Single-host convenience fit loop (tests / small runs)."""
     params = init_params(cfg)
-    opt = make_optimizer(lr)
+    opt = make_optimizer(lr, decay_steps=steps)
     opt_state = opt.init(params)
     audio = jnp.asarray(audio)
     target = jnp.asarray(target)

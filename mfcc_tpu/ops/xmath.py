@@ -24,14 +24,21 @@ always does ``log(max(E, floor))`` with floor >= 1e-30, above denormals).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 _LN2 = float(np.log(2.0))
 _SQRT2 = float(np.sqrt(2.0))
 
 
+@jax.custom_jvp
 def accurate_log(x: jnp.ndarray) -> jnp.ndarray:
-    """Accurate natural log for finite positive float32 inputs."""
+    """Accurate natural log for finite positive float32 inputs.
+
+    custom_jvp: the exponent-bit extraction below is a bitcast chain with
+    no derivative, so autodiff is given the analytic d/dx log(x) = 1/x
+    (trainable front-ends differentiate through the log compression).
+    """
     x = x.astype(jnp.float32)
     bits = x.view(jnp.int32) if hasattr(x, "view") else jnp.asarray(x).view(jnp.int32)
     e = ((bits >> 23) & 0xFF) - 127
@@ -51,6 +58,13 @@ def accurate_log(x: jnp.ndarray) -> jnp.ndarray:
     p = p * r2 + 2.0 / 3.0
     p = p * r2 + 2.0
     return e * _LN2 + r * p
+
+
+@accurate_log.defjvp
+def _accurate_log_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    return accurate_log(x), dx / x
 
 
 def floored_log(x: jnp.ndarray, floor: float) -> jnp.ndarray:
