@@ -18,8 +18,8 @@ from .mfcc import frame_lengths, frame_mask
 
 def log_mel(x: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     """(n_samples,) -> (T, n_mels[*3]) log-mel features."""
-    frames = framing.frame(x, cfg)
-    feat = mel.log_mel_energies(spectrum.power_spectrum(frames, cfg), cfg)
+    y = framing.preemphasize(x, cfg)
+    feat = mel.log_mel_energies(spectrum.power_spectrum_blocked(y, cfg), cfg)
     if cfg.deltas:
         feat = deltas_op.append_deltas(feat, cfg)
     return feat
@@ -28,9 +28,9 @@ def log_mel(x: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
 def log_mel_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
                   cfg: FeatureConfig):
     """(B, N_pad), (B,) -> ((B, T, n_mels[*3]), (B,), (B, T))."""
-    frames = framing.frame_batch(x, cfg)
+    y = framing.preemphasize(x, cfg)
     flens = frame_lengths(sample_lengths, cfg)
-    feat = mel.log_mel_energies(spectrum.power_spectrum(frames, cfg), cfg)
+    feat = mel.log_mel_energies(spectrum.power_spectrum_blocked(y, cfg), cfg)
     if cfg.deltas:
         feat = deltas_op.append_deltas(feat, cfg, flens)
     mask = frame_mask(feat.shape[-2], flens)

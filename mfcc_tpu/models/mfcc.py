@@ -24,11 +24,12 @@ import jax.numpy as jnp
 
 from ..config import FeatureConfig
 from ..ops import framing, spectrum, mel, dct, deltas as deltas_op
+from .. import backend as backend_lib
 
 
 def _features(frames: jnp.ndarray, cfg: FeatureConfig,
               lengths: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Shared core: (..., T, frame_len) frames -> (..., T, n_feats)."""
+    """Frames-based core (streaming path): (..., T, frame_len) -> features."""
     power = spectrum.power_spectrum(frames, cfg)
     logmel = mel.log_mel_energies(power, cfg)
     feat = dct.cepstra(logmel, cfg)
@@ -40,10 +41,42 @@ def _features(frames: jnp.ndarray, cfg: FeatureConfig,
     return feat
 
 
-def mfcc(x: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+def _features_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
+                         lengths: jnp.ndarray | None = None,
+                         backend: str = "auto",
+                         apply_dct: bool = True) -> jnp.ndarray:
+    """Audio-based core (batch path).
+
+    backend "xla": hop-block GEMM decomposition, no frame materialization
+    (spectrum.power_spectrum_blocked).  backend "pallas": single fused
+    kernel (ops/kernels/fused_mfcc), interpret-mode off-TPU.
+    """
+    y = framing.preemphasize(x, cfg)
+    if backend_lib.resolve(backend) == "pallas":
+        from ..ops.kernels import fused_mfcc
+        squeeze = y.ndim == 1
+        yb = y[None, :] if squeeze else y
+        feat = fused_mfcc.fused_features(
+            yb, cfg, apply_dct=apply_dct,
+            interpret=backend_lib.pallas_interpret())
+        if squeeze:
+            feat = feat[0]
+    else:
+        power = spectrum.power_spectrum_blocked(y, cfg)
+        logmel = mel.log_mel_energies(power, cfg)
+        feat = dct.cepstra(logmel, cfg) if apply_dct else logmel
+        if cfg.append_energy and apply_dct:
+            e = spectrum.log_energy_blocked(y, cfg)
+            feat = feat.at[..., 0].set(e)
+    if cfg.deltas:
+        feat = deltas_op.append_deltas(feat, cfg, lengths)
+    return feat
+
+
+def mfcc(x: jnp.ndarray, cfg: FeatureConfig,
+         backend: str = "auto") -> jnp.ndarray:
     """(n_samples,) PCM in [-1, 1] -> (T, n_feats) features."""
-    frames = framing.frame(x, cfg)
-    return _features(frames, cfg)
+    return _features_from_audio(x, cfg, backend=backend)
 
 
 def frame_lengths(sample_lengths: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
@@ -65,9 +98,9 @@ def mfcc_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
     Padded-region frames are fully computed then zeroed — keeping every
     shape static and every op branch-free is the fast path on TPU.
     """
-    frames = framing.frame_batch(x, cfg)
     flens = frame_lengths(sample_lengths, cfg)
-    feat = _features(frames, cfg, lengths=flens if cfg.deltas else None)
+    feat = _features_from_audio(x, cfg,
+                                lengths=flens if cfg.deltas else None)
     mask = frame_mask(feat.shape[-2], flens)
     feat = jnp.where(mask[..., None], feat, 0.0)
     return feat, flens, mask

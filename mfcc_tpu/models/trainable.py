@@ -64,8 +64,8 @@ def param_shardings(mesh) -> FrontendParams:
 def forward(params: FrontendParams, audio: jnp.ndarray,
             cfg: FeatureConfig) -> jnp.ndarray:
     """(B, n_samples) -> (B, T, n_mfcc) with learnable filterbank."""
-    frames = framing.frame_batch(audio, cfg)
-    power = spectrum.power_spectrum(frames, cfg)
+    y = framing.preemphasize(audio, cfg)
+    power = spectrum.power_spectrum_blocked(y, cfg)
     floor = jax.nn.softplus(params.log_floor)
     energies = jnp.matmul(power, params.mel_w,
                           precision=jax.lax.Precision.HIGHEST)

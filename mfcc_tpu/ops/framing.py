@@ -31,6 +31,20 @@ def frame_indices(n_samples: int, cfg: FeatureConfig) -> np.ndarray:
     return starts[:, None] + np.arange(cfg.frame_len, dtype=np.int32)[None, :]
 
 
+def preemphasize(x: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """Whole-signal pre-emphasis y[n] = x[n] - a*x[n-1], y[0] = (1-a)x[0].
+
+    Identical to per-frame pre-emphasis with signal predecessors (the
+    oracle's definition — equivalence pinned by
+    tests/test_oracle.py::test_preemphasis_streaming_identity), which is
+    what lets the blocked spectrum path skip frame materialization.
+    """
+    if cfg.preemph == 0.0:
+        return x
+    prev = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+    return x - jnp.asarray(cfg.preemph, x.dtype) * prev
+
+
 def frame(x: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     """(n_samples,) -> (T, frame_len) pre-emphasized frames.
 
