@@ -46,7 +46,14 @@ class FeatureConfig:
     mel_scale: str = "htk"
     # --- cepstral --------------------------------------------------------
     n_mfcc: int = 13
-    log_floor: float = 1e-10       # floor inside log(max(E, floor))
+    log_floor: float = 1e-10       # absolute floor inside log(max(E, floor))
+    # optional per-frame RELATIVE floor: mel energies below
+    # max_over_bands / 10^(dynamic_range_db/10) are floored.  Caps the
+    # dynamic range the log stage must resolve — deep spectral valleys are
+    # where the MXU's bf16x6 f32 emulation (~1.4e-4 relative, measured)
+    # exceeds the 1e-4 feature tolerance on pathological synthetic tones.
+    # None = unlimited range (classic definition, the default).
+    dynamic_range_db: Optional[float] = None
     lifter: int = 0                # 0 disables cepstral liftering
     append_energy: bool = False    # replace c0 with log frame energy
     # --- post ------------------------------------------------------------

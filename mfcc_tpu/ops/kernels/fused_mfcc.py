@@ -80,6 +80,7 @@ class _Plan(NamedTuple):
     apply_dct: bool
     append_energy: bool
     log_floor: float
+    rel_floor: float  # 10^(-dynamic_range_db/10); 0.0 disables
 
 
 # extra scratch rows beyond the tile: Mosaic requires 8-aligned DMA slice
@@ -113,17 +114,27 @@ def _kernel(audio_hbm, cosm, sinm, melm, dctm, out_ref, scratch, sem, *,
         v = vk[:tile, :]
         c_k = cosm[k * hp: (k + 1) * hp, :]
         s_k = sinm[k * hp: (k + 1) * hp, :]
-        re = re + jnp.dot(v, c_k, preferred_element_type=jnp.float32)
-        im = im + jnp.dot(v, s_k, preferred_element_type=jnp.float32)
+        # HIGHEST: Mosaic's default f32 matmul is a single bf16 MXU pass
+        # (~2^-8 relative) — uniform ~1e-2 log-domain error on TPU
+        re = re + jnp.dot(v, c_k, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        im = im + jnp.dot(v, s_k, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
     power = re * re + im * im
 
     # ---- mel + log (MXU + VPU) ----
-    energies = jnp.dot(power, melm[:], preferred_element_type=jnp.float32)
+    energies = jnp.dot(power, melm[:], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if plan.rel_floor > 0.0:
+        # padded mel lanes are exact zeros and never win the max
+        rel = jnp.max(energies, axis=1, keepdims=True) * plan.rel_floor
+        energies = jnp.maximum(energies, rel)
     logmel = _acc_log(jnp.maximum(energies, plan.log_floor))
 
     # ---- DCT (MXU) ----
-    feat = (jnp.dot(logmel, dctm[:], preferred_element_type=jnp.float32)
+    feat = (jnp.dot(logmel, dctm[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
             if plan.apply_dct else logmel)
 
     if plan.append_energy:
@@ -226,7 +237,9 @@ def fused_features(y: jnp.ndarray, cfg: FeatureConfig, *,
     plan = _Plan(q=q, r=r, hop=hop, hop_pad=hop_pad, tile_t=tile_t,
                  bins_pad=bins_pad, mels_pad=mels_pad, out_pad=out_pad,
                  apply_dct=apply_dct, append_energy=cfg.append_energy,
-                 log_floor=cfg.log_floor)
+                 log_floor=cfg.log_floor,
+                 rel_floor=(0.0 if cfg.dynamic_range_db is None
+                            else 10.0 ** (-cfg.dynamic_range_db / 10.0)))
 
     vmem_const = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(

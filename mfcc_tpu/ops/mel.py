@@ -46,4 +46,8 @@ def log_mel_energies(
     """
     fb = jnp.asarray(mel_matrix(cfg), jnp.dtype(cfg.accum_dtype))
     e = jnp.matmul(power, fb, precision=precision)
+    if cfg.dynamic_range_db is not None:
+        rel = jnp.max(e, axis=-1, keepdims=True) * (
+            10.0 ** (-cfg.dynamic_range_db / 10.0))
+        e = jnp.maximum(e, rel)
     return xmath.floored_log(e, cfg.log_floor)

@@ -164,7 +164,12 @@ def log_mel_energies(power: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
     """(T, n_mels) log mel filterbank energies."""
     fb = mel_filterbank(cfg)
     energies = power @ fb.T
-    return np.log(np.maximum(energies, cfg.log_floor))
+    floor = np.asarray(cfg.log_floor)
+    if cfg.dynamic_range_db is not None:
+        rel = energies.max(axis=-1, keepdims=True) * (
+            10.0 ** (-cfg.dynamic_range_db / 10.0))
+        floor = np.maximum(floor, rel)
+    return np.log(np.maximum(energies, floor))
 
 
 def cepstra(logmel: np.ndarray, cfg: FeatureConfig) -> np.ndarray:

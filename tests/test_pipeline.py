@@ -135,3 +135,15 @@ def test_short_signal_zero_frames():
     x = jnp.zeros(100, jnp.float32)
     feat = mfcc_model.mfcc_jit(x, CFG)
     assert feat.shape == (0, 13)
+
+
+def test_dynamic_range_floor_parity(speechlike):
+    """Kaldi-style relative floor: identical in oracle and pipeline."""
+    cfg = FeatureConfig(n_mels=80, n_mfcc=80,
+                        dynamic_range_db=60.0).validate()
+    got = np.asarray(mfcc_model.mfcc_jit(jnp.asarray(speechlike), cfg))
+    want = oracle.mfcc(speechlike, cfg)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+    # floored variant actually differs from the unfloored one somewhere
+    plain = oracle.mfcc(speechlike, cfg.replace(dynamic_range_db=None))
+    assert not np.allclose(want, plain, atol=1e-6)
