@@ -31,8 +31,11 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if jax.default_backend() == "tpu":
+        # TPU-only: the relay's remote compiler also writes CPU AOT entries
+        # built for ITS host CPU; loading those here risks SIGILL
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from mfcc_tpu import FeatureConfig, oracle

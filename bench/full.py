@@ -1,0 +1,137 @@
+"""Full benchmark matrix -> BASELINE.md numbers.
+
+Measures every baseline config (BASELINE.md table) on the current device:
+  1. single-WAV parity (accuracy, CPU-oracle differential)
+  2. batched-64 ragged MFCC-13 throughput
+  3. log-mel-80 + deltas throughput
+  4. streaming chunked STFT (latency + throughput)
+  5. multi-host CMVN — functional validation on a fake pod (real pod
+     hardware not available in this environment; see __graft_entry__)
+
+Usage: python bench/full.py [--iters N] [--small]
+Writes bench/results.json and prints a row-per-config summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if jax.default_backend() == "tpu":
+        # TPU-only: the relay's remote compiler also writes CPU AOT entries
+        # built for ITS host CPU; loading those here risks SIGILL
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from mfcc_tpu import FeatureConfig, oracle
+    from mfcc_tpu.models import (mfcc as mfcc_model, logmel as logmel_model,
+                                 streaming)
+
+    B, sec, iters = (4, 2.0, 3) if args.small else (64, 10.0, args.iters)
+    sr = 16000
+    n = int(sec * sr)
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / sr
+    base = (0.3 * np.sin(2 * np.pi * 180 * t)
+            + 0.1 * np.sin(2 * np.pi * 1200 * t)).astype(np.float32)
+    audio = np.tile(base, (B, 1)) + 0.02 * rng.standard_normal(
+        (B, n)).astype(np.float32)
+    # ragged: vary lengths across the batch
+    lengths = np.linspace(n // 2, n, B).astype(np.int32)
+    audio_sec_total = float(lengths.sum()) / sr
+
+    dev = jax.devices()[0]
+    ad = jax.device_put(jnp.asarray(audio), dev)
+    ld = jax.device_put(jnp.asarray(lengths), dev)
+    results = {"device": str(dev), "batch": B, "utt_seconds": sec}
+
+    def timed(fn, *a, n_iter=iters):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n_iter
+
+    # config 1: accuracy
+    cfg = FeatureConfig()
+    feat, flens, _ = mfcc_model.mfcc_batch_jit(ad, ld, cfg)
+    i0 = int(np.argmax(lengths))
+    got = np.asarray(feat[i0])[: int(flens[i0])]
+    want = oracle.mfcc(audio[i0][: lengths[i0]].astype(np.float64), cfg)
+    results["config1_single_wav"] = {
+        "max_abs_error_vs_oracle": float(np.abs(got - want).max())}
+
+    # config 2: batched ragged MFCC-13
+    dt = timed(lambda: mfcc_model.mfcc_batch_jit(ad, ld, cfg)[0])
+    results["config2_batched_mfcc13"] = {
+        "audio_sec_per_s": audio_sec_total / dt, "wall_s_per_batch": dt}
+
+    # config 3: log-mel-80 + deltas.  Accuracy reported for the plain
+    # definition AND with an 80 dB dynamic-range floor: unbounded-range
+    # log of near-cancelled spectral valleys is not resolvable in f32 on
+    # ANY backend (see ops/mel.py / FeatureConfig.dynamic_range_db).
+    cfg3 = FeatureConfig(n_mels=80, n_mfcc=80, deltas=True).validate()
+    dt = timed(lambda: logmel_model.log_mel_batch_jit(ad, ld, cfg3)[0])
+    i0feat, i0len, _ = logmel_model.log_mel_batch_jit(ad, ld, cfg3)
+    got3 = np.asarray(i0feat[i0])[: int(i0len[i0])]
+    want3 = oracle.log_mel(audio[i0][: lengths[i0]].astype(np.float64), cfg3)
+    cfg3f = cfg3.replace(dynamic_range_db=80.0)
+    f3, l3, _ = logmel_model.log_mel_batch_jit(ad, ld, cfg3f)
+    got3f = np.asarray(f3[i0])[: int(l3[i0])]
+    want3f = oracle.log_mel(audio[i0][: lengths[i0]].astype(np.float64), cfg3f)
+    results["config3_logmel80_deltas"] = {
+        "audio_sec_per_s": audio_sec_total / dt,
+        "max_abs_error_vs_oracle_unbounded_range": float(
+            np.abs(got3 - want3).max()),
+        "max_abs_error_vs_oracle_80db_floor": float(
+            np.abs(got3f - want3f).max())}
+
+    # config 4: streaming (chunk = 64 frames = 640 ms)
+    chunk_frames = 8 if args.small else 64
+    C = chunk_frames * cfg.hop_len
+    xs = audio[0][: (n // C) * C]
+    dt = timed(lambda: streaming.stream_signal(jnp.asarray(xs), cfg,
+                                               chunk_frames)[0])
+    feats, total = streaming.stream_signal(jnp.asarray(xs), cfg, chunk_frames)
+    want4 = oracle.mfcc(xs.astype(np.float64), cfg)[: int(total)]
+    nz = np.where(np.any(np.asarray(feats) != 0.0, axis=1))[0][: want4.shape[0]]
+    err4 = float(np.abs(np.asarray(feats)[nz] - want4).max())
+    results["config4_streaming"] = {
+        "audio_sec_per_s": (len(xs) / sr) / dt,
+        "chunk_ms": 1000.0 * C / sr,
+        "per_chunk_latency_ms": 1000.0 * dt / (len(xs) // C),
+        "max_abs_error_vs_oracle": err4}
+
+    # config 5: functional multi-host validation is covered by
+    # __graft_entry__.dryrun_multichip on a fake pod; record device count
+    results["config5_multihost"] = {
+        "validated": "fake-pod (8 CPU devices) via dryrun_multichip",
+        "n_devices_here": jax.device_count()}
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

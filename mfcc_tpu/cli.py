@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ignore existing manifest")
     p.add_argument("--trace-dir", default=None,
                    help="emit a jax.profiler trace here")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="execution backend (see mfcc_tpu/backend.py)")
 
     f = p.add_argument_group("feature config")
     f.add_argument("--sample-rate", type=int, default=16000)
@@ -69,7 +72,7 @@ def main(argv=None) -> int:
     cfg = config_from_args(a)
     opts = RunnerOptions(
         out_dir=a.out, batch_size=a.batch_size, logmel=a.logmel,
-        resume=not a.no_resume, trace_dir=a.trace_dir)
+        resume=not a.no_resume, trace_dir=a.trace_dir, backend=a.backend)
     rep = run(a.input, cfg, opts)
     print(rep.dump())
     if rep.n_utterances == 0:

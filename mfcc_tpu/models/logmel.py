@@ -12,38 +12,38 @@ import jax
 import jax.numpy as jnp
 
 from ..config import FeatureConfig
-from ..ops import framing, spectrum, mel, deltas as deltas_op
-from .mfcc import frame_lengths, frame_mask
+from .mfcc import (frame_lengths, frame_mask,  # noqa: F401 (re-export)
+                   _features_from_audio)
+import jax.numpy as _jnp
 
 
-def log_mel(x: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+def log_mel(x: jnp.ndarray, cfg: FeatureConfig,
+            backend: str = "auto") -> jnp.ndarray:
     """(n_samples,) -> (T, n_mels[*3]) log-mel features."""
-    y = framing.preemphasize(x, cfg)
-    feat = mel.log_mel_energies(spectrum.power_spectrum_blocked(y, cfg), cfg)
-    if cfg.deltas:
-        feat = deltas_op.append_deltas(feat, cfg)
-    return feat
+    return _features_from_audio(x, cfg, backend=backend, apply_dct=False)
 
 
 def log_mel_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
-                  cfg: FeatureConfig):
+                  cfg: FeatureConfig, backend: str = "auto"):
     """(B, N_pad), (B,) -> ((B, T, n_mels[*3]), (B,), (B, T))."""
-    y = framing.preemphasize(x, cfg)
+    if x.dtype == _jnp.int16:
+        x = x.astype(_jnp.float32) * (1.0 / 32768.0)
     flens = frame_lengths(sample_lengths, cfg)
-    feat = mel.log_mel_energies(spectrum.power_spectrum_blocked(y, cfg), cfg)
-    if cfg.deltas:
-        feat = deltas_op.append_deltas(feat, cfg, flens)
+    feat = _features_from_audio(x, cfg,
+                                lengths=flens if cfg.deltas else None,
+                                backend=backend, apply_dct=False)
     mask = frame_mask(feat.shape[-2], flens)
     feat = jnp.where(mask[..., None], feat, 0.0)
     return feat, flens, mask
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def log_mel_jit(x: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
-    return log_mel(x, cfg)
+@partial(jax.jit, static_argnames=("cfg", "backend"))
+def log_mel_jit(x: jnp.ndarray, cfg: FeatureConfig,
+                backend: str = "auto") -> jnp.ndarray:
+    return log_mel(x, cfg, backend)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "backend"))
 def log_mel_batch_jit(x: jnp.ndarray, sample_lengths: jnp.ndarray,
-                      cfg: FeatureConfig):
-    return log_mel_batch(x, sample_lengths, cfg)
+                      cfg: FeatureConfig, backend: str = "auto"):
+    return log_mel_batch(x, sample_lengths, cfg, backend)

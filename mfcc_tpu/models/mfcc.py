@@ -51,25 +51,31 @@ def _features_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
     (spectrum.power_spectrum_blocked).  backend "pallas": single fused
     kernel (ops/kernels/fused_mfcc), interpret-mode off-TPU.
     """
-    y = framing.preemphasize(x, cfg)
+    with jax.named_scope("preemph"):
+        y = framing.preemphasize(x, cfg)
     if backend_lib.resolve(backend) == "pallas":
         from ..ops.kernels import fused_mfcc
         squeeze = y.ndim == 1
         yb = y[None, :] if squeeze else y
-        feat = fused_mfcc.fused_features(
-            yb, cfg, apply_dct=apply_dct,
-            interpret=backend_lib.pallas_interpret())
+        with jax.named_scope("fused_mfcc_kernel"):
+            feat = fused_mfcc.fused_features(
+                yb, cfg, apply_dct=apply_dct,
+                interpret=backend_lib.pallas_interpret())
         if squeeze:
             feat = feat[0]
     else:
-        power = spectrum.power_spectrum_blocked(y, cfg)
-        logmel = mel.log_mel_energies(power, cfg)
-        feat = dct.cepstra(logmel, cfg) if apply_dct else logmel
+        with jax.named_scope("stft_power"):
+            power = spectrum.power_spectrum_blocked(y, cfg)
+        with jax.named_scope("mel_log"):
+            logmel = mel.log_mel_energies(power, cfg)
+        with jax.named_scope("dct"):
+            feat = dct.cepstra(logmel, cfg) if apply_dct else logmel
         if cfg.append_energy and apply_dct:
             e = spectrum.log_energy_blocked(y, cfg)
             feat = feat.at[..., 0].set(e)
     if cfg.deltas:
-        feat = deltas_op.append_deltas(feat, cfg, lengths)
+        with jax.named_scope("deltas"):
+            feat = deltas_op.append_deltas(feat, cfg, lengths)
     return feat
 
 
@@ -92,26 +98,33 @@ def frame_mask(T: int, flens: jnp.ndarray) -> jnp.ndarray:
 
 
 def mfcc_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
-               cfg: FeatureConfig):
+               cfg: FeatureConfig, backend: str = "auto"):
     """(B, N_pad), (B,) -> ((B, T, n_feats), (B,) frame counts, (B, T) mask).
 
     Padded-region frames are fully computed then zeroed — keeping every
     shape static and every op branch-free is the fast path on TPU.
+
+    x may be int16 PCM (cast to [-1, 1) float on device — halves the
+    host->device transfer) or float in [-1, 1].
     """
+    if x.dtype == jnp.int16:
+        x = x.astype(jnp.float32) * (1.0 / 32768.0)
     flens = frame_lengths(sample_lengths, cfg)
     feat = _features_from_audio(x, cfg,
-                                lengths=flens if cfg.deltas else None)
+                                lengths=flens if cfg.deltas else None,
+                                backend=backend)
     mask = frame_mask(feat.shape[-2], flens)
     feat = jnp.where(mask[..., None], feat, 0.0)
     return feat, flens, mask
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def mfcc_jit(x: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
-    return mfcc(x, cfg)
+@partial(jax.jit, static_argnames=("cfg", "backend"))
+def mfcc_jit(x: jnp.ndarray, cfg: FeatureConfig,
+             backend: str = "auto") -> jnp.ndarray:
+    return mfcc(x, cfg, backend)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "backend"))
 def mfcc_batch_jit(x: jnp.ndarray, sample_lengths: jnp.ndarray,
-                   cfg: FeatureConfig):
-    return mfcc_batch(x, sample_lengths, cfg)
+                   cfg: FeatureConfig, backend: str = "auto"):
+    return mfcc_batch(x, sample_lengths, cfg, backend)

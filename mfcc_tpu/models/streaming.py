@@ -114,6 +114,29 @@ def process_chunk_jit(state: StreamState, chunk: jnp.ndarray,
     return process_chunk(state, chunk, cfg)
 
 
+def init_state_batch(n_streams: int, cfg: FeatureConfig,
+                     dtype=jnp.float32) -> StreamState:
+    """Vectorized state for n concurrent streams."""
+    return StreamState(
+        carry=jnp.zeros((n_streams, cfg.frame_len), dtype),
+        samples_seen=jnp.zeros((n_streams,), jnp.int32),
+        frames_done=jnp.zeros((n_streams,), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def process_chunk_batch_jit(state: StreamState, chunks: jnp.ndarray,
+                            cfg: FeatureConfig):
+    """Serving path: advance B concurrent streams with one device call.
+
+    chunks: (B, chunk_frames*hop).  Single-stream streaming is dispatch-
+    bound (one tiny kernel per chunk through the host); real serving runs
+    many sessions, so the per-call cost amortizes across streams via vmap.
+    Returns (state', feats (B, chunk_frames, n_mfcc), n_valid (B,)).
+    """
+    return jax.vmap(partial(process_chunk, cfg=cfg))(state, chunks)
+
+
 @partial(jax.jit, static_argnames=("cfg", "chunk_frames"))
 def stream_signal(x: jnp.ndarray, cfg: FeatureConfig,
                   chunk_frames: int = 64):

@@ -37,6 +37,7 @@ class RunnerOptions:
     max_bucket: int = 16_000 * 30     # 30 s
     resume: bool = True
     trace_dir: str | None = None
+    backend: str = "auto"
     ladder: list = field(default_factory=list)
 
 
@@ -110,7 +111,8 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
                 _load_utterances(paths, cfg, rep), opts.batch_size, ladder):
             with report.stage_timer(rep, "compute"):
                 feat, flens, mask = fn(
-                    jnp.asarray(pb.audio), jnp.asarray(pb.lengths), cfg)
+                    jnp.asarray(pb.audio), jnp.asarray(pb.lengths), cfg,
+                    opts.backend)
                 if cfg.cmvn:
                     stats = stats.merge(cmvn_lib.batch_stats(feat, mask))
                 feat_np = np.asarray(feat)

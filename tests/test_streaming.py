@@ -77,3 +77,22 @@ def test_preemph_continuity_across_chunks(rng):
     got, _ = _stream_all(x, CFG, chunk_frames=4)
     want = oracle.mfcc(x.astype(np.float64), CFG)
     np.testing.assert_allclose(got, want[: got.shape[0]], atol=ATOL)
+
+
+def test_batched_streaming_matches_single(rng):
+    """B concurrent streams via one vmapped call == per-stream loop."""
+    B, n_chunks, cf = 3, 6, 10
+    C = cf * CFG.hop_len
+    xs = (rng.standard_normal((B, n_chunks * C)) * 0.4).astype(np.float32)
+    st = streaming.init_state_batch(B, CFG)
+    outs = [[] for _ in range(B)]
+    for k in range(n_chunks):
+        st, feat, nv = streaming.process_chunk_batch_jit(
+            st, jnp.asarray(xs[:, k * C:(k + 1) * C]), CFG)
+        feat = np.asarray(feat)
+        for b in range(B):
+            outs[b].append(feat[b, : int(nv[b])])
+    for b in range(B):
+        got = np.concatenate(outs[b])
+        want, _ = _stream_all(xs[b], CFG, chunk_frames=cf)
+        np.testing.assert_allclose(got, want, atol=1e-5)
