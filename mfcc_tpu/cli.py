@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="execution backend (see mfcc_tpu/backend.py)")
+    p.add_argument("--format", default="npy",
+                   choices=["npy", "ark", "tfrecord"],
+                   help=".npy per utterance, Kaldi .ark/.scp, or TFRecord")
 
     f = p.add_argument_group("feature config")
     f.add_argument("--sample-rate", type=int, default=16000)
@@ -72,7 +75,8 @@ def main(argv=None) -> int:
     cfg = config_from_args(a)
     opts = RunnerOptions(
         out_dir=a.out, batch_size=a.batch_size, logmel=a.logmel,
-        resume=not a.no_resume, trace_dir=a.trace_dir, backend=a.backend)
+        resume=not a.no_resume, trace_dir=a.trace_dir, backend=a.backend,
+        out_format=a.format)
     rep = run(a.input, cfg, opts)
     print(rep.dump())
     if rep.n_utterances == 0:

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ..config import FeatureConfig
 from .. import oracle
+from .spectrum import resolve_precision
 
 
 @functools.lru_cache(maxsize=32)
@@ -34,8 +35,10 @@ def cepstra(
     logmel: jnp.ndarray,
     cfg: FeatureConfig,
     *,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=None,
 ) -> jnp.ndarray:
     """(..., T, n_mels) log-mel -> (..., T, n_mfcc) liftered cepstra."""
+    if precision is None:
+        precision = resolve_precision(cfg)
     mat = jnp.asarray(dct_matrix(cfg), jnp.dtype(cfg.accum_dtype))
     return jnp.matmul(logmel, mat, precision=precision)

@@ -81,6 +81,7 @@ class _Plan(NamedTuple):
     append_energy: bool
     log_floor: float
     rel_floor: float  # 10^(-dynamic_range_db/10); 0.0 disables
+    precision: str    # "default" | "high" | "highest" (MXU pass count)
 
 
 # extra scratch rows beyond the tile: Mosaic requires 8-aligned DMA slice
@@ -95,6 +96,9 @@ def _kernel(audio_hbm, cosm, sinm, melm, dctm, out_ref, scratch, sem, *,
     t = pl.program_id(1)
     tile, q, r = plan.tile_t, plan.q, plan.r
     hp = plan.hop_pad
+    prec = {"default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[plan.precision]
     n_blocks = q + (1 if r > 0 else 0)   # uniform: matrices are row-padded
 
     # ---- DMA: hop-block rows [t*tile, t*tile + tile + Q_PAD) of utt b ----
@@ -114,18 +118,18 @@ def _kernel(audio_hbm, cosm, sinm, melm, dctm, out_ref, scratch, sem, *,
         v = vk[:tile, :]
         c_k = cosm[k * hp: (k + 1) * hp, :]
         s_k = sinm[k * hp: (k + 1) * hp, :]
-        # HIGHEST: Mosaic's default f32 matmul is a single bf16 MXU pass
-        # (~2^-8 relative) — uniform ~1e-2 log-domain error on TPU
+        # explicit precision: Mosaic's default f32 matmul is a single
+        # bf16 MXU pass (~2^-8 relative) — uniform ~1e-2 log-domain error
         re = re + jnp.dot(v, c_k, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=prec)
         im = im + jnp.dot(v, s_k, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=prec)
 
     power = re * re + im * im
 
     # ---- mel + log (MXU + VPU) ----
     energies = jnp.dot(power, melm[:], preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=prec)
     if plan.rel_floor > 0.0:
         # padded mel lanes are exact zeros and never win the max
         rel = jnp.max(energies, axis=1, keepdims=True) * plan.rel_floor
@@ -134,7 +138,7 @@ def _kernel(audio_hbm, cosm, sinm, melm, dctm, out_ref, scratch, sem, *,
 
     # ---- DCT (MXU) ----
     feat = (jnp.dot(logmel, dctm[:], preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=prec)
             if plan.apply_dct else logmel)
 
     if plan.append_energy:
@@ -239,7 +243,8 @@ def fused_features(y: jnp.ndarray, cfg: FeatureConfig, *,
                  apply_dct=apply_dct, append_energy=cfg.append_energy,
                  log_floor=cfg.log_floor,
                  rel_floor=(0.0 if cfg.dynamic_range_db is None
-                            else 10.0 ** (-cfg.dynamic_range_db / 10.0)))
+                            else 10.0 ** (-cfg.dynamic_range_db / 10.0)),
+                 precision=cfg.matmul_precision)
 
     vmem_const = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..config import FeatureConfig
 from .. import oracle
+from .spectrum import resolve_precision
 from . import xmath
 
 
@@ -36,7 +37,7 @@ def log_mel_energies(
     power: jnp.ndarray,
     cfg: FeatureConfig,
     *,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=None,
 ) -> jnp.ndarray:
     """(..., T, n_bins) power -> (..., T, n_mels) floored log mel energies.
 
@@ -44,6 +45,8 @@ def log_mel_energies(
     approximation errs ~1e-4 absolute, which alone would consume the
     pipeline's accuracy budget (see ops/xmath.py).
     """
+    if precision is None:
+        precision = resolve_precision(cfg)
     fb = jnp.asarray(mel_matrix(cfg), jnp.dtype(cfg.accum_dtype))
     e = jnp.matmul(power, fb, precision=precision)
     if cfg.dynamic_range_db is not None:

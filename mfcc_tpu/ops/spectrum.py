@@ -30,6 +30,17 @@ from ..config import FeatureConfig
 from .framing import build_window
 
 
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,       # bf16x3 f32 emulation on MXU
+    "highest": jax.lax.Precision.HIGHEST, # bf16x6
+}
+
+
+def resolve_precision(cfg: FeatureConfig):
+    return _PRECISIONS[cfg.matmul_precision]
+
+
 @functools.lru_cache(maxsize=32)
 def _dft_matrices_cached(key) -> tuple[np.ndarray, np.ndarray]:
     frame_len, n_fft, window = key
@@ -62,7 +73,7 @@ def power_spectrum_blocked(
     x: jnp.ndarray,
     cfg: FeatureConfig,
     *,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=None,
 ) -> jnp.ndarray:
     """(..., N) raw audio -> (..., T, n_bins) |X|^2 with zero frame
     materialization (the framework's load-bearing GEMM trick).
@@ -87,6 +98,8 @@ def power_spectrum_blocked(
     if T <= 0:
         return jnp.zeros((*y.shape[:-1], 0, cfg.n_bins), jnp.dtype(cfg.accum_dtype))
 
+    if precision is None:
+        precision = resolve_precision(cfg)
     cos_m, sin_m = dft_matrices(cfg)
     dt = jnp.dtype(cfg.compute_dtype)
     acc = jnp.dtype(cfg.accum_dtype)
@@ -133,7 +146,7 @@ def power_spectrum(
     frames: jnp.ndarray,
     cfg: FeatureConfig,
     *,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=None,
 ) -> jnp.ndarray:
     """(..., T, frame_len) pre-emphasized frames -> (..., T, n_bins) |X|^2.
 
@@ -142,6 +155,8 @@ def power_spectrum(
     the 1e-4 feature tolerance; HIGHEST keeps full f32 fidelity while still
     running on the MXU.
     """
+    if precision is None:
+        precision = resolve_precision(cfg)
     cos_m, sin_m = dft_matrices(cfg)
     dt = jnp.dtype(cfg.compute_dtype)
     c = jnp.asarray(cos_m, dt)

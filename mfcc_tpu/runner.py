@@ -25,7 +25,68 @@ import jax.numpy as jnp
 from .config import FeatureConfig
 from .models import mfcc as mfcc_model, logmel as logmel_model
 from .parallel import cmvn as cmvn_lib, dist
-from .utils import batch as batch_lib, manifest as manifest_lib, report, wav
+from .utils import (batch as batch_lib, kaldi as kaldi_lib,
+                    manifest as manifest_lib, report, wav)
+
+
+class NpyWriter:
+    """One .npy per utterance (default)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def write(self, uid: str, feat: np.ndarray):
+        np.save(_out_path(self.out_dir, uid), feat)
+
+    def finish(self):
+        pass
+
+    def apply_cmvn(self, uids, mean, inv_std):
+        for uid in uids:
+            fp = _out_path(self.out_dir, uid)
+            if os.path.exists(fp):
+                np.save(fp, (np.load(fp) - mean) * inv_std)
+
+
+class TFRecordWriter:
+    """TFRecord of tf.train.Examples: features.<host>.tfrecord."""
+
+    def __init__(self, out_dir: str, host: int):
+        self.path = os.path.join(out_dir, f"features.{host}.tfrecord")
+        self.feats: dict[str, np.ndarray] = {}
+
+    def write(self, uid: str, feat: np.ndarray):
+        from .utils import tfrecord  # noqa: F401 (import check at use)
+        self.feats[os.path.splitext(os.path.basename(uid))[0]] = feat
+
+    def finish(self):
+        from .utils import tfrecord
+        tfrecord.write_tfrecord(self.path, self.feats)
+
+    def apply_cmvn(self, uids, mean, inv_std):
+        from .utils import tfrecord
+        feats = tfrecord.read_tfrecord(self.path)
+        tfrecord.write_tfrecord(
+            self.path, {u: (f - mean) * inv_std for u, f in feats.items()})
+
+
+class ArkWriter:
+    """Kaldi binary archive: features.<host>.{ark,scp} (utils/kaldi.py)."""
+
+    def __init__(self, out_dir: str, host: int):
+        self.prefix = os.path.join(out_dir, f"features.{host}")
+        self.feats: dict[str, np.ndarray] = {}
+
+    def write(self, uid: str, feat: np.ndarray):
+        self.feats[os.path.splitext(os.path.basename(uid))[0]] = feat
+
+    def finish(self):
+        kaldi_lib.write_ark_scp(self.prefix, self.feats)
+
+    def apply_cmvn(self, uids, mean, inv_std):
+        feats = kaldi_lib.read_scp(self.prefix + ".scp")
+        feats = {u: (f - mean) * inv_std for u, f in feats.items()}
+        kaldi_lib.write_ark_scp(self.prefix, feats)
 
 
 @dataclass
@@ -38,6 +99,7 @@ class RunnerOptions:
     resume: bool = True
     trace_dir: str | None = None
     backend: str = "auto"
+    out_format: str = "npy"           # "npy" | "ark" (Kaldi archive)
     ladder: list = field(default_factory=list)
 
 
@@ -100,6 +162,10 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
     ladder = opts.ladder or batch_lib.bucket_ladder(
         opts.min_bucket, opts.max_bucket)
     fn = _feature_fn(opts)
+    writer = {"npy": lambda: NpyWriter(opts.out_dir),
+              "ark": lambda: ArkWriter(opts.out_dir, jax.process_index()),
+              "tfrecord": lambda: TFRecordWriter(
+                  opts.out_dir, jax.process_index())}[opts.out_format]()
 
     stats_path = os.path.join(opts.out_dir, "cmvn.npz")
     stats = cmvn_lib.Stats.zero(cfg.n_feats if not opts.logmel
@@ -119,31 +185,23 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
                 flens_np = np.asarray(flens)
             with report.stage_timer(rep, "write"):
                 for i, uid in enumerate(pb.ids):
-                    np.save(_out_path(opts.out_dir, uid),
-                            feat_np[i, : flens_np[i]])
+                    writer.write(uid, feat_np[i, : flens_np[i]])
                     if man is not None:
                         man.mark(uid)
                 if man is not None:
                     man.save()
+    writer.finish()
     rep.wall_seconds = time.perf_counter() - t0
 
     if cfg.cmvn:
         # global reduction across hosts happens automatically when stats
         # were computed from sharded arrays; persist for the apply pass
         manifest_lib.save_cmvn(stats_path, stats, cfg.config_hash())
-        _apply_cmvn_pass(paths, stats, opts)
+        mean, var = (np.asarray(v) for v in stats.mean_var())
+        writer.apply_cmvn(paths, mean, 1.0 / np.sqrt(var))
 
     rep.dump(os.path.join(opts.out_dir,
                           f"run_report.{jax.process_index()}.json"))
     return rep
 
 
-def _apply_cmvn_pass(paths, stats, opts):
-    """Second pass: normalize the written features in place."""
-    mean, var = (np.asarray(v) for v in stats.mean_var())
-    inv_std = 1.0 / np.sqrt(var)
-    for p in paths:
-        fp = _out_path(opts.out_dir, p)
-        if os.path.exists(fp):
-            feat = np.load(fp)
-            np.save(fp, (feat - mean) * inv_std)

@@ -1,0 +1,64 @@
+"""Kaldi-format feature IO (binary .ark + .scp), dependency-free.
+
+Speech tooling interoperability: most ASR stacks consume features as
+Kaldi archives.  Format (binary float matrix):
+
+    <utt_id> <space> \\0 B FM <space> \\4 <rows i32> \\4 <cols i32> <f32 data>
+
+The .scp index lines are ``<utt_id> <ark_path>:<byte_offset>`` where the
+offset points at the ``\\0B`` marker (Kaldi convention).  Round-trip is
+tested in tests/test_utils.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def write_ark_scp(path_prefix: str, feats: dict[str, np.ndarray]):
+    """Write {utt_id: (T, F) float array} -> path_prefix.{ark,scp}."""
+    ark_path = path_prefix + ".ark"
+    scp_path = path_prefix + ".scp"
+    with open(ark_path, "wb") as ark, open(scp_path, "w") as scp:
+        for uid in sorted(feats):
+            mat = np.ascontiguousarray(feats[uid], dtype=np.float32)
+            if mat.ndim != 2:
+                raise ValueError(f"{uid}: expected (T, F) matrix")
+            ark.write(uid.encode() + b" ")
+            offset = ark.tell()
+            ark.write(b"\0B")
+            ark.write(b"FM ")
+            ark.write(b"\4" + struct.pack("<i", mat.shape[0]))
+            ark.write(b"\4" + struct.pack("<i", mat.shape[1]))
+            ark.write(mat.tobytes())
+            scp.write(f"{uid} {ark_path}:{offset}\n")
+
+
+def read_ark_entry(ark_path: str, offset: int) -> np.ndarray:
+    """Read one matrix given an .scp offset."""
+    with open(ark_path, "rb") as f:
+        f.seek(offset)
+        if f.read(2) != b"\0B":
+            raise ValueError("bad binary marker (not a Kaldi binary entry)")
+        token = f.read(3)
+        if token != b"FM ":
+            raise ValueError(f"unsupported Kaldi type {token!r}")
+        assert f.read(1) == b"\4"
+        rows = struct.unpack("<i", f.read(4))[0]
+        assert f.read(1) == b"\4"
+        cols = struct.unpack("<i", f.read(4))[0]
+        data = np.frombuffer(f.read(rows * cols * 4), "<f4")
+        return data.reshape(rows, cols).copy()
+
+
+def read_scp(scp_path: str) -> dict[str, np.ndarray]:
+    """Load every entry referenced by an .scp file."""
+    out = {}
+    with open(scp_path) as f:
+        for line in f:
+            uid, loc = line.strip().split(None, 1)
+            ark, off = loc.rsplit(":", 1)
+            out[uid] = read_ark_entry(ark, int(off))
+    return out

@@ -1,0 +1,174 @@
+"""TFRecord feature writer (pure Python, no TensorFlow dependency).
+
+Emits standard TFRecord framing (length + masked CRC-32C) around
+tf.train.Example protos with three features per utterance:
+``utt_id`` (bytes), ``shape`` (int64 list), ``feats`` (float list,
+row-major).  The proto bytes are hand-encoded — the Example wire format
+is stable and tiny — so consumers can read these with TensorFlow /
+tfds / any protobuf runtime, while this framework stays dependency-free.
+Round-trip (including CRC validation) is tested in tests/test_utils.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# CRC-32C (Castagnoli), table-driven; TFRecord's masked variant
+# ---------------------------------------------------------------------------
+
+_POLY = 0x82F63B78
+_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ _POLY if _c & 1 else _c >> 1
+    _TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# Minimal protobuf wire encoding for tf.train.Example
+# ---------------------------------------------------------------------------
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _bytes_list_feature(value: bytes) -> bytes:
+    # Feature{ bytes_list: BytesList{ value: [...] } }  (fields 1/1)
+    return _len_delim(1, _len_delim(1, value))
+
+
+def _float_list_feature(values: np.ndarray) -> bytes:
+    # Feature{ float_list: FloatList{ value: packed floats } }  (2/1 packed)
+    packed = np.ascontiguousarray(values, "<f4").tobytes()
+    return _len_delim(2, _varint((1 << 3) | 2) + _varint(len(packed)) + packed)
+
+
+def _int64_list_feature(values) -> bytes:
+    payload = b"".join(_varint(int(v)) for v in values)
+    return _len_delim(3, _varint((1 << 3) | 2) + _varint(len(payload)) + payload)
+
+
+def _example(uid: str, feat: np.ndarray) -> bytes:
+    def entry(key: bytes, feature: bytes) -> bytes:
+        # Features.feature map entry: MapEntry{ key(1), value(2) }
+        return _len_delim(1, _len_delim(1, key) + _len_delim(2, feature))
+
+    features = (entry(b"utt_id", _bytes_list_feature(uid.encode()))
+                + entry(b"shape", _int64_list_feature(feat.shape))
+                + entry(b"feats", _float_list_feature(feat.ravel())))
+    return _len_delim(1, features)  # Example{ features(1) }
+
+
+# ---------------------------------------------------------------------------
+# Record-level IO
+# ---------------------------------------------------------------------------
+
+def write_tfrecord(path: str, feats: dict[str, np.ndarray]):
+    """Write {utt_id: (T, F)} as a TFRecord of tf.train.Examples."""
+    with open(path, "wb") as f:
+        for uid in sorted(feats):
+            record = _example(uid, np.asarray(feats[uid], np.float32))
+            hdr = struct.pack("<Q", len(record))
+            f.write(hdr)
+            f.write(struct.pack("<I", _masked_crc(hdr)))
+            f.write(record)
+            f.write(struct.pack("<I", _masked_crc(record)))
+
+
+def read_tfrecord(path: str) -> dict[str, np.ndarray]:
+    """Minimal reader (validates CRCs; parses only our three fields)."""
+    out = {}
+    with open(path, "rb") as f:
+        while True:
+            hdr = f.read(8)
+            if not hdr:
+                return out
+            (length,) = struct.unpack("<Q", hdr)
+            (hcrc,) = struct.unpack("<I", f.read(4))
+            if hcrc != _masked_crc(hdr):
+                raise ValueError("header CRC mismatch")
+            record = f.read(length)
+            (dcrc,) = struct.unpack("<I", f.read(4))
+            if dcrc != _masked_crc(record):
+                raise ValueError("record CRC mismatch")
+            uid, shape, flat = _parse_example(record)
+            out[uid] = flat.reshape(shape)
+
+
+def _read_varint(buf: bytes, pos: int):
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _parse_example(buf: bytes):
+    uid, shape, flat = None, None, None
+    # Example -> features(1) -> map entries -> key/Feature
+    tag, pos = _read_varint(buf, 0)
+    ln, pos = _read_varint(buf, pos)
+    features = buf[pos: pos + ln]
+    fpos = 0
+    while fpos < len(features):
+        _tag, fpos = _read_varint(features, fpos)
+        ln, fpos = _read_varint(features, fpos)
+        entry = features[fpos: fpos + ln]
+        fpos += ln
+        # key
+        _t, p = _read_varint(entry, 0)
+        kl, p = _read_varint(entry, p)
+        key = entry[p: p + kl].decode()
+        p += kl
+        # Feature
+        _t, p = _read_varint(entry, p)
+        vl, p = _read_varint(entry, p)
+        fea = entry[p: p + vl]
+        # Feature: one field (1=bytes_list, 2=float_list, 3=int64_list)
+        t2, p2 = _read_varint(fea, 0)
+        l2, p2 = _read_varint(fea, p2)
+        inner = fea[p2: p2 + l2]
+        kind = t2 >> 3
+        t3, p3 = _read_varint(inner, 0)
+        l3, p3 = _read_varint(inner, p3)
+        payload = inner[p3: p3 + l3]
+        if key == "utt_id" and kind == 1:
+            uid = payload.decode()
+        elif key == "feats" and kind == 2:
+            flat = np.frombuffer(payload, "<f4").copy()
+        elif key == "shape" and kind == 3:
+            shape = []
+            sp = 0
+            while sp < len(payload):
+                v, sp = _read_varint(payload, sp)
+                shape.append(v)
+    return uid, tuple(shape), flat

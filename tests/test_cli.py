@@ -100,3 +100,33 @@ def test_cli_bad_args():
         env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo"),
         timeout=120)
     assert r.returncode == 2  # argparse rejects the choice
+
+
+@pytest.mark.slow
+def test_cli_ark_format(tmp_path, rng):
+    d, sigs = _mk_corpus(tmp_path, rng, n=3)
+    out = tmp_path / "feats"
+    r = _run_cli([str(d), "-o", str(out), "--format", "ark"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    from mfcc_tpu.utils import kaldi
+    back = kaldi.read_scp(str(out / "features.0.scp"))
+    assert set(back) == set(sigs)
+    cfg = FeatureConfig()
+    for name, sig in sigs.items():
+        want = oracle.mfcc(sig.astype(np.float64), cfg)
+        np.testing.assert_allclose(back[name], want, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_cli_tfrecord_format(tmp_path, rng):
+    d, sigs = _mk_corpus(tmp_path, rng, n=2)
+    out = tmp_path / "feats"
+    r = _run_cli([str(d), "-o", str(out), "--format", "tfrecord"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    from mfcc_tpu.utils import tfrecord
+    back = tfrecord.read_tfrecord(str(out / "features.0.tfrecord"))
+    assert set(back) == set(sigs)
+    cfg = FeatureConfig()
+    for name, sig in sigs.items():
+        want = oracle.mfcc(sig.astype(np.float64), cfg)
+        np.testing.assert_allclose(back[name], want, atol=1e-4)

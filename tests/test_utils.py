@@ -101,3 +101,46 @@ def test_cmvn_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(back.sum), np.arange(13))
     with pytest.raises(ValueError):
         manifest.load_cmvn(p, "other")
+
+
+def test_kaldi_ark_roundtrip(tmp_path, rng):
+    from mfcc_tpu.utils import kaldi
+    feats = {f"utt{i}": rng.standard_normal(
+        (int(rng.integers(5, 50)), 13)).astype(np.float32) for i in range(7)}
+    prefix = str(tmp_path / "features")
+    kaldi.write_ark_scp(prefix, feats)
+    back = kaldi.read_scp(prefix + ".scp")
+    assert set(back) == set(feats)
+    for uid in feats:
+        np.testing.assert_array_equal(back[uid], feats[uid])
+
+
+def test_tfrecord_roundtrip(tmp_path, rng):
+    from mfcc_tpu.utils import tfrecord
+    feats = {f"utt{i}": rng.standard_normal(
+        (int(rng.integers(5, 40)), 13)).astype(np.float32) for i in range(5)}
+    p = str(tmp_path / "f.tfrecord")
+    tfrecord.write_tfrecord(p, feats)
+    back = tfrecord.read_tfrecord(p)
+    assert set(back) == set(feats)
+    for uid in feats:
+        np.testing.assert_array_equal(back[uid], feats[uid])
+
+
+def test_tfrecord_crc_detects_corruption(tmp_path, rng):
+    from mfcc_tpu.utils import tfrecord
+    p = str(tmp_path / "f.tfrecord")
+    tfrecord.write_tfrecord(p, {"a": rng.standard_normal(
+        (4, 3)).astype(np.float32)})
+    blob = bytearray(open(p, "rb").read())
+    blob[30] ^= 0xFF
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError):
+        tfrecord.read_tfrecord(p)
+
+
+def test_tfrecord_crc32c_known_vector():
+    from mfcc_tpu.utils.tfrecord import crc32c
+    # RFC 3720 test vector: 32 bytes of zeros -> 0x8A9136AA
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"123456789") == 0xE3069283
