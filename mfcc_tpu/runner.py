@@ -117,20 +117,54 @@ def collect_wavs(path: str) -> list[str]:
     return [path]
 
 
-def _load_utterances(paths, cfg, rep):
-    """Yield (path, float32 signal) with quarantine on decode failure."""
+def _probe(paths, cfg):
+    """Header-only probe: yield (path, n_samples); quarantine bad files."""
     for p in paths:
         try:
-            x, sr = wav.read_wav(p)
+            n, sr = wav.wav_info(p)
         except (OSError, ValueError) as e:
             print(f"[quarantine] {p}: {e}")
             continue
         if sr != cfg.sample_rate:
             print(f"[quarantine] {p}: sample rate {sr} != {cfg.sample_rate}")
             continue
-        rep.n_utterances += 1
-        rep.audio_seconds += len(x) / cfg.sample_rate
-        yield p, x
+        yield p, n
+
+
+def _decode_batch(pb, cfg):
+    """Decode a PathBatch to (audio (B, bucket) f32, lengths (B,) i32).
+
+    Native threaded path decodes straight into the padded matrix; rows
+    that fail late (truncated/corrupt despite a sane header) are
+    quarantined by zeroing their length.  Pure-Python fallback mirrors
+    the semantics when the native library is unavailable.
+    """
+    try:
+        from .native import read_wavs_padded
+        audio, lengths, rates, errors = read_wavs_padded(pb.paths, pb.bucket)
+        for i, p in enumerate(pb.paths):
+            if errors[i] != 0:
+                print(f"[quarantine] {p}: native decode error {errors[i]}")
+                lengths[i] = 0
+            elif rates[i] != cfg.sample_rate:
+                print(f"[quarantine] {p}: sample rate {rates[i]}")
+                lengths[i] = 0
+                audio[i] = 0.0
+        return audio, lengths.astype(np.int32)
+    except ImportError:
+        audio = np.zeros((len(pb.paths), pb.bucket), np.float32)
+        lengths = np.zeros((len(pb.paths),), np.int32)
+        for i, p in enumerate(pb.paths):
+            try:
+                x, sr = wav.read_wav(p)
+                if sr != cfg.sample_rate:
+                    raise wav.WavError(f"sample rate {sr}")
+                L = min(len(x), pb.bucket)
+                audio[i, :L] = x[:L]
+                lengths[i] = L
+            except (OSError, ValueError) as e:
+                print(f"[quarantine] {p}: {e}")
+        return audio, lengths
 
 
 def _feature_fn(opts):
@@ -173,18 +207,24 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
 
     t0 = time.perf_counter()
     with report.maybe_profile(opts.trace_dir):
-        for pb in batch_lib.make_batches(
-                _load_utterances(paths, cfg, rep), opts.batch_size, ladder):
+        for pb in batch_lib.make_path_batches(
+                _probe(paths, cfg), opts.batch_size, ladder):
+            with report.stage_timer(rep, "decode"):
+                audio, lengths = _decode_batch(pb, cfg)
+                rep.n_utterances += int((lengths > 0).sum())
+                rep.audio_seconds += float(lengths.sum()) / cfg.sample_rate
             with report.stage_timer(rep, "compute"):
                 feat, flens, mask = fn(
-                    jnp.asarray(pb.audio), jnp.asarray(pb.lengths), cfg,
+                    jnp.asarray(audio), jnp.asarray(lengths), cfg,
                     opts.backend)
                 if cfg.cmvn:
                     stats = stats.merge(cmvn_lib.batch_stats(feat, mask))
                 feat_np = np.asarray(feat)
                 flens_np = np.asarray(flens)
             with report.stage_timer(rep, "write"):
-                for i, uid in enumerate(pb.ids):
+                for i, uid in enumerate(pb.paths):
+                    if lengths[i] == 0:
+                        continue  # quarantined at decode time
                     writer.write(uid, feat_np[i, : flens_np[i]])
                     if man is not None:
                         man.mark(uid)

@@ -49,6 +49,39 @@ class PaddedBatch:
         return self.audio.shape[0]
 
 
+@dataclass
+class PathBatch:
+    """A batch of file paths grouped by bucket (decode deferred)."""
+    bucket: int
+    paths: list
+
+    @property
+    def batch_size(self) -> int:
+        return len(self.paths)
+
+
+def make_path_batches(infos: Iterable[tuple[str, int]],
+                      batch_size: int,
+                      ladder: Sequence[int]) -> Iterator[PathBatch]:
+    """Group (path, n_samples) pairs into bucketed path batches.
+
+    The production ingestion path: lengths come from a header-only probe
+    (utils/wav.wav_info), so bucketing costs no decoding; the native
+    threaded loader then decodes each batch straight into its padded
+    matrix (native.read_wavs_padded).
+    """
+    pending: dict[int, list[str]] = {b: [] for b in ladder}
+    for path, n in infos:
+        b = pick_bucket(min(n, ladder[-1]), ladder)
+        pending[b].append(path)
+        if len(pending[b]) == batch_size:
+            yield PathBatch(bucket=b, paths=pending[b])
+            pending[b] = []
+    for b, items in pending.items():
+        if items:
+            yield PathBatch(bucket=b, paths=items)
+
+
 def make_batches(utterances: Iterable[tuple[object, np.ndarray]],
                  batch_size: int,
                  ladder: Sequence[int] | None = None,

@@ -97,6 +97,35 @@ def _parse(data: bytes, channel: int | None):
     return np.ascontiguousarray(x), sr
 
 
+def wav_info(path: str | os.PathLike):
+    """Header-only probe -> (n_samples, sample_rate) without decoding.
+
+    Reads only the first few KB: enough for fmt + the data chunk header in
+    any sanely-written WAV.  Used by the corpus runner to bucket by length
+    before the (native, threaded) batch decode touches sample data.
+    """
+    with open(path, "rb") as f:
+        head = f.read(65536)
+    if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+        raise WavError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(head):
+        cid, csz = struct.unpack_from("<4sI", head, pos)
+        pos += 8
+        if cid == b"fmt " and csz >= 16:
+            fmt = _FMT.unpack_from(head, pos)
+        elif cid == b"data":
+            if fmt is None:
+                raise WavError("data chunk before fmt")
+            _afmt, n_ch, sr, _br, _ba, bits = fmt
+            n_ch = n_ch or 1
+            bytes_per = max(bits // 8, 1)
+            return csz // (bytes_per * n_ch), sr
+        pos += csz + (csz & 1)
+    raise WavError("missing fmt or data chunk")
+
+
 def write_wav(path: str | os.PathLike, x: np.ndarray, sample_rate: int):
     """Write mono float [-1,1] (or int16) as PCM16 WAV (test fixtures)."""
     if x.dtype != np.int16:

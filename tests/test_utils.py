@@ -144,3 +144,15 @@ def test_tfrecord_crc32c_known_vector():
     # RFC 3720 test vector: 32 bytes of zeros -> 0x8A9136AA
     assert crc32c(b"\x00" * 32) == 0x8A9136AA
     assert crc32c(b"123456789") == 0xE3069283
+
+
+def test_wav_info_header_only(tmp_path, rng):
+    x = (rng.standard_normal(12345) * 0.2).astype(np.float32)
+    p = tmp_path / "i.wav"
+    wav.write_wav(p, x, 16000)
+    n, sr = wav.wav_info(p)
+    assert (n, sr) == (12345, 16000)
+    with pytest.raises(wav.WavError):
+        bad = tmp_path / "bad.wav"
+        bad.write_bytes(b"RIFF\0\0\0\0WAVEnope")
+        wav.wav_info(bad)
