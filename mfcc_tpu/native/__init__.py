@@ -50,6 +50,12 @@ def _load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    lib.mfcc_read_wavs_i16.restype = None
+    lib.mfcc_read_wavs_i16.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
     return lib
 
 
@@ -95,6 +101,29 @@ def read_wavs_padded(paths: list[str], max_len: int, channel: int = -1,
     _LIB.mfcc_read_wavs(
         arr, B, channel,
         audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_len,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        errors.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads)
+    return audio, lengths, rates, errors
+
+
+def read_wavs_padded_i16(paths: list[str], max_len: int, n_threads: int = 0):
+    """PCM16 passthrough batch decode -> (B, max_len) int16 (raw samples).
+
+    Half the bytes of the float path — the pipeline casts on-device
+    (models accept int16).  Files that are not mono 16-bit integer PCM get
+    error -6; the caller decodes those via read_wavs_padded instead.
+    """
+    B = len(paths)
+    audio = np.zeros((B, max_len), np.int16)
+    lengths = np.zeros((B,), np.int64)
+    rates = np.zeros((B,), np.int32)
+    errors = np.zeros((B,), np.int32)
+    arr = (ctypes.c_char_p * B)(*[os.fsencode(p) for p in paths])
+    _LIB.mfcc_read_wavs_i16(
+        arr, B,
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), max_len,
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         errors.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -132,16 +132,22 @@ def _probe(paths, cfg):
 
 
 def _decode_batch(pb, cfg):
-    """Decode a PathBatch to (audio (B, bucket) f32, lengths (B,) i32).
+    """Decode a PathBatch to (audio (B, bucket) i16-or-f32, lengths i32).
 
-    Native threaded path decodes straight into the padded matrix; rows
-    that fail late (truncated/corrupt despite a sane header) are
-    quarantined by zeroing their length.  Pure-Python fallback mirrors
-    the semantics when the native library is unavailable.
+    Fast path: PCM16 passthrough (raw int16, half the host->device bytes;
+    the pipeline casts on-device).  If any file is not mono PCM16 the
+    whole batch falls back to the float decoder so dtypes stay uniform.
+    Rows that fail late (corrupt despite a sane header) are quarantined
+    by zeroing their length.  Pure-Python fallback mirrors the semantics
+    when the native library is unavailable.
     """
     try:
-        from .native import read_wavs_padded
-        audio, lengths, rates, errors = read_wavs_padded(pb.paths, pb.bucket)
+        from .native import read_wavs_padded, read_wavs_padded_i16
+        audio, lengths, rates, errors = read_wavs_padded_i16(
+            pb.paths, pb.bucket)
+        if np.any(errors == -6):  # non-PCM16 content: float path
+            audio, lengths, rates, errors = read_wavs_padded(
+                pb.paths, pb.bucket)
         for i, p in enumerate(pb.paths):
             if errors[i] != 0:
                 print(f"[quarantine] {p}: native decode error {errors[i]}")
@@ -149,7 +155,7 @@ def _decode_batch(pb, cfg):
             elif rates[i] != cfg.sample_rate:
                 print(f"[quarantine] {p}: sample rate {rates[i]}")
                 lengths[i] = 0
-                audio[i] = 0.0
+                audio[i] = 0
         return audio, lengths.astype(np.int32)
     except ImportError:
         audio = np.zeros((len(pb.paths), pb.bucket), np.float32)
@@ -205,31 +211,42 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
     stats = cmvn_lib.Stats.zero(cfg.n_feats if not opts.logmel
                                 else cfg.n_mels * (3 if cfg.deltas else 1))
 
+    def _write_out(pb, lengths, feat, flens):
+        """Fetch a finished batch (blocks on ITS device work only)."""
+        with report.stage_timer(rep, "fetch+write"):
+            feat_np = np.asarray(feat)
+            flens_np = np.asarray(flens)
+            for i, uid in enumerate(pb.paths):
+                if lengths[i] == 0:
+                    continue  # quarantined at decode time
+                writer.write(uid, feat_np[i, : flens_np[i]])
+                if man is not None:
+                    man.mark(uid)
+            if man is not None:
+                man.save()
+
     t0 = time.perf_counter()
-    with report.maybe_profile(opts.trace_dir):
+    in_flight = None  # depth-2 software pipeline: decode/dispatch N+1
+    with report.maybe_profile(opts.trace_dir):  # while N's results drain
         for pb in batch_lib.make_path_batches(
                 _probe(paths, cfg), opts.batch_size, ladder):
             with report.stage_timer(rep, "decode"):
                 audio, lengths = _decode_batch(pb, cfg)
                 rep.n_utterances += int((lengths > 0).sum())
                 rep.audio_seconds += float(lengths.sum()) / cfg.sample_rate
-            with report.stage_timer(rep, "compute"):
+            with report.stage_timer(rep, "dispatch"):
+                # jax dispatch is async: transfer + compute overlap the
+                # previous batch's fetch/write below
                 feat, flens, mask = fn(
                     jnp.asarray(audio), jnp.asarray(lengths), cfg,
                     opts.backend)
                 if cfg.cmvn:
                     stats = stats.merge(cmvn_lib.batch_stats(feat, mask))
-                feat_np = np.asarray(feat)
-                flens_np = np.asarray(flens)
-            with report.stage_timer(rep, "write"):
-                for i, uid in enumerate(pb.paths):
-                    if lengths[i] == 0:
-                        continue  # quarantined at decode time
-                    writer.write(uid, feat_np[i, : flens_np[i]])
-                    if man is not None:
-                        man.mark(uid)
-                if man is not None:
-                    man.save()
+            if in_flight is not None:
+                _write_out(*in_flight)
+            in_flight = (pb, lengths, feat, flens)
+        if in_flight is not None:
+            _write_out(*in_flight)
     writer.finish()
     rep.wall_seconds = time.perf_counter() - t0
 

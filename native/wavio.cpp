@@ -241,4 +241,52 @@ void mfcc_read_wavs(const char** paths, int64_t n, int channel,
   for (auto& th : pool) th.join();
 }
 
+// Raw PCM16 batch loader: like mfcc_read_wavs but emits int16 samples
+// untouched (pure memcpy of the interleaved payload for mono files).
+// Halves host->device transfer; the pipeline casts to float on-device.
+// Only 16-bit integer PCM mono sources qualify; anything else gets error
+// -6 so the caller falls back to the float path for that file.
+void mfcc_read_wavs_i16(const char** paths, int64_t n,
+                        int16_t* out, int64_t max_len, int64_t* lengths,
+                        int32_t* rates, int32_t* errors, int n_threads) {
+  if (n_threads <= 0)
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = static_cast<int>(n);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> buf;
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      int16_t* row = out + i * max_len;
+      std::memset(row, 0, sizeof(int16_t) * max_len);
+      lengths[i] = 0;
+      rates[i] = 0;
+      buf.clear();
+      int rc = read_file(paths[i], &buf);
+      if (rc == 0) {
+        Fmt fmt;
+        Chunk payload;
+        rc = parse_wav(buf.data(), buf.size(), &fmt, &payload);
+        if (rc == 0) {
+          if (fmt.format == 1 && fmt.bits == 16 && fmt.channels <= 1) {
+            int64_t frames = payload.size / 2;
+            int64_t keep = frames < max_len ? frames : max_len;
+            std::memcpy(row, payload.p, sizeof(int16_t) * keep);
+            lengths[i] = keep;
+            rates[i] = static_cast<int32_t>(fmt.sample_rate);
+          } else {
+            rc = -6;  // not mono PCM16: caller uses the float path
+          }
+        }
+      }
+      errors[i] = rc;
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
 }  // extern "C"

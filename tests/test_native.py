@@ -57,3 +57,28 @@ def test_wav_reader_uses_native_transparently(tmp_path, rng):
     wav.write_wav(p, x, 16000)
     y, sr = wav.read_wav(p)     # dispatches to native when available
     np.testing.assert_allclose(y, x, atol=1.0 / 32768)
+
+
+def test_native_i16_passthrough(tmp_path, rng):
+    paths = _fixture(tmp_path, rng, 3)
+    ai, li, ri, ei = native.read_wavs_padded_i16(paths, 9000)
+    af, lf, rf, ef = native.read_wavs_padded(paths, 9000)
+    assert np.all(ei == 0) and np.array_equal(li, lf)
+    np.testing.assert_allclose(ai.astype(np.float32) / 32768.0, af,
+                               atol=1e-7)
+
+
+def test_native_i16_rejects_non_pcm16(tmp_path, rng):
+    import struct
+    x = (rng.standard_normal(100) * 0.1).astype(np.float32)
+    payload = x.tobytes()
+    p = str(tmp_path / "f32.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", 16)
+                + struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32))
+        f.write(b"data" + struct.pack("<I", len(payload)) + payload)
+    ai, li, ri, ei = native.read_wavs_padded_i16([p], 200)
+    assert ei[0] == -6                 # signals: use the float path
+    af, lf, rf, ef = native.read_wavs_padded([p], 200)
+    assert ef[0] == 0 and lf[0] == 100  # float path handles it
