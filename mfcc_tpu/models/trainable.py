@@ -103,6 +103,27 @@ def train_step(params: FrontendParams, opt_state, audio: jnp.ndarray,
     return params, opt_state, loss
 
 
+def save_params(path: str, params: FrontendParams, cfg: FeatureConfig):
+    """Checkpoint the front-end (atomic NPZ; orbax is overkill for two
+    tensors, and NPZ keeps the zero-dependency core)."""
+    from ..utils.manifest import _atomic_write
+    import io as _io
+    buf = _io.BytesIO()
+    np.savez(buf, mel_w=np.asarray(params.mel_w),
+             log_floor=np.asarray(params.log_floor),
+             config_hash=np.asarray(cfg.config_hash()))
+    _atomic_write(path, buf.getvalue())
+
+
+def load_params(path: str, cfg: FeatureConfig) -> FrontendParams:
+    with np.load(path) as z:
+        if str(z["config_hash"]) != cfg.config_hash():
+            raise ValueError(
+                "checkpoint was trained under a different FeatureConfig")
+        return FrontendParams(mel_w=jnp.asarray(z["mel_w"]),
+                              log_floor=jnp.asarray(z["log_floor"]))
+
+
 def fit(audio: np.ndarray, target: np.ndarray, cfg: FeatureConfig,
         steps: int = 100, lr: float = 1e-3):
     """Single-host convenience fit loop (tests / small runs)."""

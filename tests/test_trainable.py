@@ -61,3 +61,16 @@ def test_graft_entry_single_chip():
     out = jax.jit(fn)(*args)
     assert out.shape[0] == args[0].shape[0]
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    import pytest
+    params = trainable.init_params(CFG)
+    params = params._replace(mel_w=params.mel_w * 1.23)
+    p = str(tmp_path / "frontend.npz")
+    trainable.save_params(p, params, CFG)
+    back = trainable.load_params(p, CFG)
+    np.testing.assert_allclose(np.asarray(back.mel_w),
+                               np.asarray(params.mel_w))
+    with pytest.raises(ValueError):
+        trainable.load_params(p, CFG.replace(n_mels=16, n_mfcc=8))
