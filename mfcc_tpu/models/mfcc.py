@@ -65,9 +65,9 @@ def _features_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
             feat = feat[0]
     else:
         with jax.named_scope("stft_power"):
-            power = spectrum.power_spectrum_blocked(y, cfg)
+            p_lo, p_hi = spectrum.power_spectrum_blocked_split(y, cfg)
         with jax.named_scope("mel_log"):
-            logmel = mel.log_mel_energies(power, cfg)
+            logmel = mel.log_mel_energies_split(p_lo, p_hi, cfg)
         with jax.named_scope("dct"):
             feat = dct.cepstra(logmel, cfg) if apply_dct else logmel
         if cfg.append_energy and apply_dct:

@@ -54,3 +54,26 @@ def log_mel_energies(
             10.0 ** (-cfg.dynamic_range_db / 10.0))
         e = jnp.maximum(e, rel)
     return xmath.floored_log(e, cfg.log_floor)
+
+
+def log_mel_energies_split(
+    power_lo: jnp.ndarray,
+    power_hi: jnp.ndarray,
+    cfg: FeatureConfig,
+    *,
+    precision=None,
+) -> jnp.ndarray:
+    """Split-bin variant matching spectrum.power_spectrum_blocked_split:
+    the big GEMM runs over n_bins-1 lane-exact bins and the top bin folds
+    in as a rank-1 update — no concat materialization."""
+    if precision is None:
+        precision = resolve_precision(cfg)
+    acc = jnp.dtype(cfg.accum_dtype)
+    fb = jnp.asarray(mel_matrix(cfg), acc)           # (n_bins, n_mels)
+    e = jnp.matmul(power_lo, fb[:-1], precision=precision)
+    e = e + power_hi * fb[-1][None, :]
+    if cfg.dynamic_range_db is not None:
+        rel = jnp.max(e, axis=-1, keepdims=True) * (
+            10.0 ** (-cfg.dynamic_range_db / 10.0))
+        e = jnp.maximum(e, rel)
+    return xmath.floored_log(e, cfg.log_floor)

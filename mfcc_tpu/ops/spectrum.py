@@ -69,6 +69,73 @@ def hop_block_views(y: jnp.ndarray, cfg: FeatureConfig):
     return y[..., : R * hop].reshape(*y.shape[:-1], R, hop)
 
 
+def power_spectrum_blocked_split(
+    x: jnp.ndarray,
+    cfg: FeatureConfig,
+    *,
+    precision=None,
+):
+    """Lane-exact variant: returns (power_lo (..., T, n_bins-1), power_hi
+    (..., T, 1)) with the top (Nyquist, for even n_fft) bin split out.
+
+    Rationale: n_bins = n_fft/2 + 1 = 257 forces the MXU to pad the DFT
+    GEMM's output to 384 lanes — 50% wasted columns.  The top bin costs
+    one extra (frame_len, 1) dot (its sine column is identically zero for
+    even n_fft), so computing 256 + 1 keeps the big GEMM at exactly two
+    128-lane tiles.  Consumers either concat (power_spectrum_blocked) or
+    fold the split bin directly into the mel projection
+    (mel.log_mel_energies_split) without materializing the concat.
+    """
+    q, r = divmod(cfg.frame_len, cfg.hop_len)
+    hop = cfg.hop_len
+    blocks = hop_block_views(x, cfg)
+    T = cfg.num_frames(x.shape[-1])
+    acc = jnp.dtype(cfg.accum_dtype)
+    if T <= 0:
+        z = jnp.zeros((*x.shape[:-1], 0, cfg.n_bins - 1), acc)
+        return z, jnp.zeros((*x.shape[:-1], 0, 1), acc)
+
+    if precision is None:
+        precision = resolve_precision(cfg)
+    cos_m, sin_m = dft_matrices(cfg)
+    nb = cfg.n_bins - 1
+    dt = jnp.dtype(cfg.compute_dtype)
+    c = jnp.asarray(cos_m[:, :nb], dt)
+    s = jnp.asarray(sin_m[:, :nb], dt)
+    chi = jnp.asarray(cos_m[:, nb:], dt)       # (frame_len, 1)
+    shi = jnp.asarray(sin_m[:, nb:], dt)       # zero for even n_fft
+    blocks = blocks.astype(dt)
+
+    re = im = rehi = imhi = None
+    even_nfft = cfg.n_fft % 2 == 0
+
+    def acc_add(a, b):
+        return b if a is None else a + b
+
+    for k in range(q + (1 if r else 0)):
+        width = hop if k < q else r
+        v = blocks[..., k: k + T, :width]
+        lo = k * hop
+        re = acc_add(re, jnp.matmul(v, c[lo: lo + width],
+                                    precision=precision))
+        im = acc_add(im, jnp.matmul(v, s[lo: lo + width],
+                                    precision=precision))
+        rehi = acc_add(rehi, jnp.matmul(v, chi[lo: lo + width],
+                                        precision=precision))
+        if not even_nfft:
+            imhi = acc_add(imhi, jnp.matmul(v, shi[lo: lo + width],
+                                            precision=precision))
+    re = re.astype(acc)
+    im = im.astype(acc)
+    rehi = rehi.astype(acc)
+    p_lo = re * re + im * im
+    p_hi = rehi * rehi
+    if not even_nfft:
+        imhi = imhi.astype(acc)
+        p_hi = p_hi + imhi * imhi
+    return p_lo, p_hi
+
+
 def power_spectrum_blocked(
     x: jnp.ndarray,
     cfg: FeatureConfig,

@@ -141,36 +141,39 @@ def _decode_batch(pb, cfg):
     by zeroing their length.  Pure-Python fallback mirrors the semantics
     when the native library is unavailable.
     """
+    B = len(pb.paths)
+    real = [p for p in pb.paths if p is not None]   # Nones pad the tail
     try:
         from .native import read_wavs_padded, read_wavs_padded_i16
-        audio, lengths, rates, errors = read_wavs_padded_i16(
-            pb.paths, pb.bucket)
+        a, lens, rates, errors = read_wavs_padded_i16(real, pb.bucket)
         if np.any(errors == -6):  # non-PCM16 content: float path
-            audio, lengths, rates, errors = read_wavs_padded(
-                pb.paths, pb.bucket)
-        for i, p in enumerate(pb.paths):
+            a, lens, rates, errors = read_wavs_padded(real, pb.bucket)
+        for i, p in enumerate(real):
             if errors[i] != 0:
                 print(f"[quarantine] {p}: native decode error {errors[i]}")
-                lengths[i] = 0
+                lens[i] = 0
             elif rates[i] != cfg.sample_rate:
                 print(f"[quarantine] {p}: sample rate {rates[i]}")
-                lengths[i] = 0
-                audio[i] = 0
-        return audio, lengths.astype(np.int32)
+                lens[i] = 0
+                a[i] = 0
     except ImportError:
-        audio = np.zeros((len(pb.paths), pb.bucket), np.float32)
-        lengths = np.zeros((len(pb.paths),), np.int32)
-        for i, p in enumerate(pb.paths):
+        a = np.zeros((len(real), pb.bucket), np.float32)
+        lens = np.zeros((len(real),), np.int64)
+        for i, p in enumerate(real):
             try:
                 x, sr = wav.read_wav(p)
                 if sr != cfg.sample_rate:
                     raise wav.WavError(f"sample rate {sr}")
                 L = min(len(x), pb.bucket)
-                audio[i, :L] = x[:L]
-                lengths[i] = L
+                a[i, :L] = x[:L]
+                lens[i] = L
             except (OSError, ValueError) as e:
                 print(f"[quarantine] {p}: {e}")
-        return audio, lengths
+    audio = np.zeros((B, pb.bucket), a.dtype)
+    lengths = np.zeros((B,), np.int32)
+    audio[: len(real)] = a
+    lengths[: len(real)] = lens.astype(np.int32)
+    return audio, lengths
 
 
 def _feature_fn(opts):
@@ -217,8 +220,8 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
             feat_np = np.asarray(feat)
             flens_np = np.asarray(flens)
             for i, uid in enumerate(pb.paths):
-                if lengths[i] == 0:
-                    continue  # quarantined at decode time
+                if uid is None or lengths[i] == 0:
+                    continue  # padding row / quarantined at decode time
                 writer.write(uid, feat_np[i, : flens_np[i]])
                 if man is not None:
                     man.mark(uid)

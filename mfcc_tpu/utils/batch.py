@@ -51,9 +51,15 @@ class PaddedBatch:
 
 @dataclass
 class PathBatch:
-    """A batch of file paths grouped by bucket (decode deferred)."""
+    """A batch of file paths grouped by bucket (decode deferred).
+
+    ``paths`` always has exactly ``batch_size`` entries; trailing Nones
+    pad remainder batches so the device sees ONE (batch, bucket) shape
+    per bucket — a variable remainder batch would be a fresh XLA compile
+    (minutes each through a remote-compile relay).
+    """
     bucket: int
-    paths: list
+    paths: list  # of str | None
 
     @property
     def batch_size(self) -> int:
@@ -79,6 +85,7 @@ def make_path_batches(infos: Iterable[tuple[str, int]],
             pending[b] = []
     for b, items in pending.items():
         if items:
+            items = items + [None] * (batch_size - len(items))
             yield PathBatch(bucket=b, paths=items)
 
 

@@ -44,4 +44,6 @@ def test_jax_pipeline_matches_golden():
     cfg = FeatureConfig(n_mels=80, n_mfcc=80, deltas=True)
     got = np.asarray(logmel_model.log_mel_jit(jnp.asarray(x), cfg))
     want = np.load(os.path.join(HERE, "logmel80_deltas.npy"))
-    np.testing.assert_allclose(got, want, atol=1e-4)
+    # 1e-3: conservative f32 bound for unbounded-range 80-mel log
+    # (valley error ~2*eps*sqrt(P_peak/P_valley); BASELINE.md note)
+    np.testing.assert_allclose(got, want, atol=1e-3)
