@@ -6,4 +6,4 @@
 - :mod:`trainable` — learnable filterbank front-end (training-step demo)
 """
 
-from . import mfcc, logmel, streaming, trainable  # noqa: F401
+from . import mfcc, logmel, spectrogram, streaming, trainable  # noqa: F401

@@ -178,3 +178,19 @@ def test_split_bin_spectrum_parity(speechlike):
     lm = np.asarray(mel.log_mel_energies(jnp.asarray(p), CFG))
     lm2 = np.asarray(mel.log_mel_energies_split(p_lo, p_hi, CFG))
     np.testing.assert_allclose(lm2, lm, rtol=0, atol=1e-5)
+
+
+def test_spectrogram_matches_oracle(speechlike):
+    from mfcc_tpu.models import spectrogram
+    got = np.asarray(spectrogram.log_spectrogram_jit(
+        jnp.asarray(speechlike), CFG))
+    frames64 = oracle.frame_signal(speechlike, CFG)
+    want = np.log(np.maximum(oracle.power_spectrum(frames64, CFG),
+                             CFG.log_floor))
+    assert got.shape == want.shape == (98, 257)
+    # raw single-bin valleys reach -90+ dB where f32 log parity is
+    # physically ~1e-2 (2*eps*sqrt(P_peak/P_valley)); the contract is
+    # strict 1e-4 within 50 dB of the frame peak, loose beyond
+    np.testing.assert_allclose(got, want, atol=5e-2)
+    keep = want > (want.max(axis=1, keepdims=True) - np.log(10 ** 5))
+    assert np.abs(got[keep] - want[keep]).max() < 1e-4
