@@ -217,7 +217,8 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
     def _write_out(pb, lengths, feat, flens):
         """Fetch a finished batch (blocks on ITS device work only)."""
         with report.stage_timer(rep, "fetch+write"):
-            feat_np = np.asarray(feat)
+            from .utils.fetch import chunked_to_numpy
+            feat_np = chunked_to_numpy(feat)
             flens_np = np.asarray(flens)
             for i, uid in enumerate(pb.paths):
                 if uid is None or lengths[i] == 0:
