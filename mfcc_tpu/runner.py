@@ -22,6 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import oracle
 from .config import FeatureConfig
 from .models import mfcc as mfcc_model, logmel as logmel_model
 from .parallel import cmvn as cmvn_lib, dist
@@ -214,12 +215,34 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
     stats = cmvn_lib.Stats.zero(cfg.n_feats if not opts.logmel
                                 else cfg.n_mels * (3 if cfg.deltas else 1))
 
+    def _self_check(pb, lengths, feat_np, flens_np):
+        """Differential spot-check: first real utterance of the run vs the
+        float64 oracle — every run report carries its own accuracy proof
+        (rep.max_abs_error)."""
+        for i, p in enumerate(pb.paths):
+            if p is None or lengths[i] == 0 or flens_np[i] == 0:
+                continue
+            try:
+                x, _sr = wav.read_wav(p)
+            except (OSError, ValueError):
+                continue
+            ref_fn = oracle.log_mel if opts.logmel else oracle.mfcc
+            want = ref_fn(x[: lengths[i]].astype(np.float64), cfg)
+            got = feat_np[i, : flens_np[i]]
+            if cfg.cmvn:
+                return  # features are pre-normalization here; skip
+            rep.max_abs_error = float(
+                np.abs(got[: want.shape[0]] - want).max())
+            return
+
     def _write_out(pb, lengths, feat, flens):
         """Fetch a finished batch (blocks on ITS device work only)."""
         with report.stage_timer(rep, "fetch+write"):
             from .utils.fetch import chunked_to_numpy
             feat_np = chunked_to_numpy(feat)
             flens_np = np.asarray(flens)
+            if rep.max_abs_error is None:
+                _self_check(pb, lengths, feat_np, flens_np)
             for i, uid in enumerate(pb.paths):
                 if uid is None or lengths[i] == 0:
                     continue  # padding row / quarantined at decode time
