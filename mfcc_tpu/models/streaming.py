@@ -70,6 +70,8 @@ def process_chunk(state: StreamState, chunk: jnp.ndarray,
     if C % hop != 0:
         raise ValueError(f"chunk length {C} must be a multiple of hop {hop}")
     n_slots = C // hop
+    if chunk.dtype == jnp.int16:
+        chunk = chunk.astype(jnp.float32) * (1.0 / 32768.0)
 
     carry = state.carry
     # stream start: pre-emphasis predecessor of sample 0 is sample 0 itself

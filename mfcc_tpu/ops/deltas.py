@@ -55,3 +55,73 @@ def append_deltas(feat: jnp.ndarray, cfg: FeatureConfig,
     d1 = deltas(feat, cfg.delta_window, lengths)
     d2 = deltas(d1, cfg.delta_window, lengths)
     return jnp.concatenate([feat, d1, d2], axis=-1)
+
+
+class DeltaStream:
+    """Streaming delta/delta-delta post-processor (host side).
+
+    Batch deltas need a ±window halo, and ΔΔ needs a halo of Δ, so exact
+    emission lags the static stream by 2*window frames.  This class
+    buffers incoming static frames and emits [static, Δ, ΔΔ] rows that
+    are *bit-identical to the batch computation's prefix* (start-edge
+    replication included); only the final 2*window frames of a stream
+    need :meth:`flush` (end-edge replication) once the source is done.
+
+    Features are tiny (tens of floats/frame), so this runs in NumPy on
+    the host next to the consumer — no device round-trips.
+    """
+
+    def __init__(self, window: int = 2):
+        self.window = window
+        self._buf = None          # retained frames (np.float64, (K, F))
+        self._buf_start = 0       # global index of _buf[0]
+        self._emitted = 0         # next global row to emit
+        self._total = 0           # frames received
+        self._at_start = True     # _buf[0] is the true stream start
+
+    def _slice_deltas(self, lo: int, hi: int) -> np.ndarray:
+        """Exact [static, Δ, ΔΔ] for global rows [lo, hi) using only
+        retained frames; edge replication is genuine only at the true
+        stream boundaries (interior slice edges have real ±2w context)."""
+        import numpy as _np
+        from .. import oracle
+        w = self.window
+        a = max(self._buf_start, lo - 2 * w)
+        feat = self._buf[a - self._buf_start:]
+        d1 = oracle.deltas(feat, w)
+        d2 = oracle.deltas(d1, w)
+        out = _np.concatenate([feat, d1, d2], axis=-1)
+        return out[lo - a: hi - a]
+
+    def push(self, static_frames: np.ndarray) -> np.ndarray:
+        """Add (k, F) new static frames; returns all newly-final
+        [static, Δ, ΔΔ] rows (possibly empty)."""
+        import numpy as _np
+        new = _np.asarray(static_frames, _np.float64).reshape(
+            -1, static_frames.shape[-1])
+        self._buf = new if self._buf is None else _np.concatenate(
+            [self._buf, new])
+        self._total += new.shape[0]
+        w = self.window
+        safe = self._total - 2 * w       # rows unaffected by future frames
+        if safe <= self._emitted:
+            return _np.zeros((0, new.shape[-1] * 3))
+        out = self._slice_deltas(self._emitted, safe)
+        self._emitted = safe
+        # retain only what future rows can still reference: 4w frames back
+        keep_from = max(self._buf_start, self._emitted - 4 * w)
+        if self._at_start and self._emitted > 4 * w:
+            self._at_start = False
+        if not self._at_start:
+            self._buf = self._buf[keep_from - self._buf_start:]
+            self._buf_start = keep_from
+        return out
+
+    def flush(self) -> np.ndarray:
+        """Emit the trailing 2*window rows (end edge now resolvable)."""
+        import numpy as _np
+        if self._buf is None or self._emitted >= self._total:
+            return _np.zeros((0, 0))
+        out = self._slice_deltas(self._emitted, self._total)
+        self._emitted = self._total
+        return out

@@ -96,3 +96,46 @@ def test_batched_streaming_matches_single(rng):
         got = np.concatenate(outs[b])
         want, _ = _stream_all(xs[b], CFG, chunk_frames=cf)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_delta_stream_matches_batch(rng):
+    """DeltaStream emission == batch append_deltas, for any chunking."""
+    from mfcc_tpu import oracle
+    from mfcc_tpu.ops.deltas import DeltaStream
+    feat = rng.standard_normal((57, 13))
+    d1 = oracle.deltas(feat, 2)
+    want = np.concatenate([feat, d1, oracle.deltas(d1, 2)], axis=-1)
+    for chunks in ([57], [1] * 57, [5, 20, 3, 29], [10, 47]):
+        ds = DeltaStream(window=2)
+        parts = []
+        off = 0
+        for c in chunks:
+            parts.append(ds.push(feat[off:off + c]))
+            off += c
+        parts.append(ds.flush())
+        got = np.concatenate([p for p in parts if p.size], axis=0)
+        np.testing.assert_allclose(got, want, atol=1e-12,
+                                   err_msg=f"chunks={chunks}")
+
+
+def test_delta_stream_long_memory_bounded(rng):
+    from mfcc_tpu.ops.deltas import DeltaStream
+    ds = DeltaStream(window=2)
+    total = 0
+    for _ in range(50):
+        out = ds.push(rng.standard_normal((20, 13)))
+        total += out.shape[0]
+    assert ds._buf.shape[0] <= 20 + 8 + 8   # bounded retention
+    total += ds.flush().shape[0]
+    assert total == 1000
+
+
+def test_streaming_int16_chunks(rng):
+    pcm = (rng.standard_normal(3200) * 8000).astype(np.int16)
+    st = streaming.init_state(CFG)
+    st, f16, nv = streaming.process_chunk_jit(st, jnp.asarray(pcm), CFG)
+    st2 = streaming.init_state(CFG)
+    xf = pcm.astype(np.float32) / 32768.0
+    st2, ff, nv2 = streaming.process_chunk_jit(st2, jnp.asarray(xf), CFG)
+    assert int(nv) == int(nv2)
+    np.testing.assert_allclose(np.asarray(f16), np.asarray(ff), atol=1e-6)
