@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from . import oracle
 from .config import FeatureConfig
 from .models import mfcc as mfcc_model, logmel as logmel_model
-from .parallel import cmvn as cmvn_lib, dist
+from .parallel import cmvn as cmvn_lib, dist, mesh as mesh_lib
 from .utils import (batch as batch_lib, kaldi as kaldi_lib,
                     manifest as manifest_lib, report, wav)
 
@@ -206,6 +206,20 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
     ladder = opts.ladder or batch_lib.bucket_ladder(
         opts.min_bucket, opts.max_bucket)
     fn = _feature_fn(opts)
+
+    # data parallelism over local devices: shard the batch axis so one
+    # dispatch spans all chips (requires batch_size % n_devices == 0)
+    n_dev = jax.local_device_count()
+    mesh = None
+    if n_dev > 1 and opts.batch_size % n_dev == 0:
+        mesh = mesh_lib.make_mesh()
+
+    def _to_device(audio, lengths):
+        a, l = jnp.asarray(audio), jnp.asarray(lengths)
+        if mesh is not None:
+            a = jax.device_put(a, mesh_lib.data_sharding(mesh, a.ndim))
+            l = jax.device_put(l, mesh_lib.data_sharding(mesh, 1))
+        return a, l
     writer = {"npy": lambda: NpyWriter(opts.out_dir),
               "ark": lambda: ArkWriter(opts.out_dir, jax.process_index()),
               "tfrecord": lambda: TFRecordWriter(
@@ -264,9 +278,8 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
             with report.stage_timer(rep, "dispatch"):
                 # jax dispatch is async: transfer + compute overlap the
                 # previous batch's fetch/write below
-                feat, flens, mask = fn(
-                    jnp.asarray(audio), jnp.asarray(lengths), cfg,
-                    opts.backend)
+                a_dev, l_dev = _to_device(audio, lengths)
+                feat, flens, mask = fn(a_dev, l_dev, cfg, opts.backend)
                 if cfg.cmvn:
                     stats = stats.merge(cmvn_lib.batch_stats(feat, mask))
             if in_flight is not None:

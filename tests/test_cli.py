@@ -130,3 +130,26 @@ def test_cli_tfrecord_format(tmp_path, rng):
     for name, sig in sigs.items():
         want = oracle.mfcc(sig.astype(np.float64), cfg)
         np.testing.assert_allclose(back[name], want, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_cli_data_parallel_8_devices(tmp_path, rng):
+    """Runner shards batches over all local devices (fake 8-CPU pod in
+    the child via XLA_FLAGS, which works there because the axon
+    sitecustomize is off PYTHONPATH)."""
+    d, sigs = _mk_corpus(tmp_path, rng, n=8)
+    out = tmp_path / "feats"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "-m", "mfcc_tpu", str(d), "-o", str(out),
+         "--batch-size", "8"],
+        capture_output=True, text=True, cwd=tmp_path, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr
+    rep = json.loads((out / "run_report.0.json").read_text())
+    assert rep["n_devices"] == 8
+    cfg = FeatureConfig()
+    for name, sig in sigs.items():
+        feat = np.load(out / f"{name}.npy")
+        want = oracle.mfcc(sig.astype(np.float64), cfg)
+        np.testing.assert_allclose(feat, want, atol=1e-4)
