@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes for CPU smoke runs")
+    ap.add_argument("--algo", default="auto",
+                    choices=("auto", "direct", "dit2"),
+                    help="DFT factorization (cfg.dft_algorithm)")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +47,7 @@ def main():
     if args.small:
         args.batch, args.seconds, args.iters = 4, 2.0, 3
 
-    cfg = FeatureConfig()
+    cfg = FeatureConfig(dft_algorithm=args.algo)
     sr = cfg.sample_rate
     n = int(args.seconds * sr)
     rng = np.random.default_rng(0)

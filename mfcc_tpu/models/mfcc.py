@@ -65,7 +65,7 @@ def _features_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
             feat = feat[0]
     else:
         with jax.named_scope("stft_power"):
-            p_lo, p_hi = spectrum.power_spectrum_blocked_split(y, cfg)
+            p_lo, p_hi = spectrum.power_spectrum_split(y, cfg)
         with jax.named_scope("mel_log"):
             logmel = mel.log_mel_energies_split(p_lo, p_hi, cfg)
         with jax.named_scope("dct"):

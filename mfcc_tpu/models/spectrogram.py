@@ -21,7 +21,7 @@ from .mfcc import frame_lengths, frame_mask
 def log_spectrogram(x: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     """(n_samples,) -> (T, n_bins) floored log power spectrum."""
     y = framing.preemphasize(x, cfg)
-    p_lo, p_hi = spectrum.power_spectrum_blocked_split(y, cfg)
+    p_lo, p_hi = spectrum.power_spectrum_split(y, cfg)
     power = jnp.concatenate([p_lo, p_hi], axis=-1)
     return xmath.floored_log(power, cfg.log_floor)
 

@@ -57,16 +57,37 @@ def dft_matrices(cfg: FeatureConfig) -> tuple[np.ndarray, np.ndarray]:
     return _dft_matrices_cached((cfg.frame_len, cfg.n_fft, cfg.window))
 
 
+def _block_view(y: jnp.ndarray, block: int, n_frames: int, win: int):
+    """(..., N) -> (..., R, block) non-overlapping block view with R
+    guaranteed large enough that every frame's static slice
+    ``blocks[..., k : k + n_frames]`` (k < ceil(win/block)) exists.
+
+    When N isn't a multiple of ``block`` the plain floor-division view
+    drops the tail partial block, which can hold samples the *last* frame
+    needs (e.g. frame_len 400 / hop 160 / N 15999: frame 97 ends at sample
+    15998 but R floors to 99 rows).  Zero-padding up to the needed row
+    count is exact: frames never extend past ``num_frames``'s bound, so
+    padded zeros are only ever multiplied into the accumulation (adding 0).
+    """
+    kmax = -(-win // block)                      # ceil(win / block)
+    need = (max(n_frames, 1) - 1 + kmax) * block
+    if y.shape[-1] < need:
+        pad = [(0, 0)] * (y.ndim - 1) + [(0, need - y.shape[-1])]
+        y = jnp.pad(y, pad)
+    R = y.shape[-1] // block
+    return y[..., : R * block].reshape(*y.shape[:-1], R, block)
+
+
 def hop_block_views(y: jnp.ndarray, cfg: FeatureConfig):
     """Reshape a pre-emphasized signal into non-overlapping hop blocks.
 
-    (..., N) -> (..., R, hop) with R = N // hop.  The hop-block
-    decomposition below (power_spectrum_blocked) reads frames out of this
-    contiguous view with *static slices only* — no per-frame gather.
+    (..., N) -> (..., R, hop) with R >= num_frames - 1 + ceil(frame/hop).
+    The hop-block decomposition below (power_spectrum_blocked) reads
+    frames out of this contiguous view with *static slices only* — no
+    per-frame gather.
     """
-    hop = cfg.hop_len
-    R = y.shape[-1] // hop
-    return y[..., : R * hop].reshape(*y.shape[:-1], R, hop)
+    return _block_view(y, cfg.hop_len, cfg.num_frames(y.shape[-1]),
+                       cfg.frame_len)
 
 
 def power_spectrum_blocked_split(
@@ -189,6 +210,141 @@ def power_spectrum_blocked(
     re = re.astype(acc)
     im = im.astype(acc)
     return re * re + im * im
+
+
+@functools.lru_cache(maxsize=32)
+def _dit_matrices_cached(key):
+    """Radix-2 DIT bases: per sample-parity stream, the window-folded
+    half-length (n_fft/2-point) real-DFT basis, packed [cos | sin] so one
+    GEMM per stream emits Re and Im together in exactly n_fft/2 lanes."""
+    frame_len, n_fft, window = key
+    N2 = n_fft // 2
+    nb2 = N2 // 2            # bins 0..nb2-1 in the GEMM; bin nb2 is rank-1
+    from .. import oracle
+    w = oracle.window_fn(window, frame_len)
+    streams = []
+    for s in (0, 1):
+        ws = w[s::2]
+        m = np.arange(ws.shape[0], dtype=np.float64)[:, None]
+        j = np.arange(nb2, dtype=np.float64)[None, :]
+        ang = 2.0 * np.pi * m * j / N2
+        basis = np.concatenate(
+            [ws[:, None] * np.cos(ang), ws[:, None] * np.sin(ang)], axis=1)
+        # bin nb2 of the half DFT: e^{-2*pi*i*m*nb2/N2} = (-1)^m (real)
+        last = (ws * np.cos(np.pi * m[:, 0]))[:, None]
+        streams.append((basis, last))
+    th = 2.0 * np.pi * np.arange(nb2, dtype=np.float64) / n_fft
+    return streams[0], streams[1], np.cos(th), np.sin(th)
+
+
+def dit_matrices(cfg: FeatureConfig):
+    return _dit_matrices_cached((cfg.frame_len, cfg.n_fft, cfg.window))
+
+
+def dit_eligible(cfg: FeatureConfig) -> bool:
+    """Radix-2 DIT needs an even hop (so every frame start maps to a whole
+    index in each parity stream) and n_fft % 4 == 0 (so the half-length DFT
+    has a real Nyquist bin that the rank-1 column can carry)."""
+    return cfg.n_fft % 4 == 0 and cfg.hop_len % 2 == 0 and cfg.frame_len >= 2
+
+
+def resolve_dft_algorithm(cfg: FeatureConfig) -> str:
+    algo = getattr(cfg, "dft_algorithm", "auto")
+    if algo == "auto":
+        return "dit2" if dit_eligible(cfg) else "direct"
+    return algo
+
+
+def power_spectrum_dit_split(
+    x: jnp.ndarray,
+    cfg: FeatureConfig,
+    *,
+    precision=None,
+):
+    """Radix-2 decimation-in-time GEMM DFT — half the MXU MACs of the
+    direct form, same (p_lo, p_hi) contract as power_spectrum_blocked_split.
+
+    Split frame samples by parity: with E, O the window-folded n_fft/2-point
+    real DFTs of the even/odd sample streams and W = e^{-2*pi*i/n_fft},
+
+        X[j]         = E[j] + W^j O[j]            j = 0..n_fft/4
+        X[n_fft/2-j] = conj(E[j] - W^j O[j])      j = 0..n_fft/4
+
+    so |X|^2 over all n_fft/2+1 bins comes from TWO (L/2, n_fft/2)-lane
+    GEMMs (vs two (L, n_fft/2) ones) plus an elementwise twiddle combine
+    that XLA fuses into the GEMM epilogue: exactly 2.0x fewer MACs at the
+    precision-mandated (HIGHEST) matmul rate, where the pipeline is
+    compute-bound (docs/performance.md).  Each stream reuses the hop-block
+    decomposition with hop/2-sample blocks — still no frame
+    materialization.  The half-DFT Nyquist bin (basis (-1)^m, sine
+    identically zero) rides as a rank-1 update, keeping the big GEMM at
+    exactly n_fft/2 lanes, like the split-bin direct path.
+    """
+    if not dit_eligible(cfg):
+        raise ValueError("dit2 requires n_fft % 4 == 0 and even hop_len")
+    hop2 = cfg.hop_len // 2
+    T = cfg.num_frames(x.shape[-1])
+    acc = jnp.dtype(cfg.accum_dtype)
+    if T <= 0:
+        z = jnp.zeros((*x.shape[:-1], 0, cfg.n_bins - 1), acc)
+        return z, jnp.zeros((*x.shape[:-1], 0, 1), acc)
+    if precision is None:
+        precision = resolve_precision(cfg)
+    (be, bel), (bo, bol), ct, st = dit_matrices(cfg)
+    dt = jnp.dtype(cfg.compute_dtype)
+
+    outs = []
+    for s, basis, blast in ((0, be, bel), (1, bo, bol)):
+        d = x[..., s::2]
+        Ls = basis.shape[0]
+        blocks = _block_view(d, hop2, T, Ls).astype(dt)
+        q, r = divmod(Ls, hop2)
+        B = jnp.asarray(basis, dt)
+        BL = jnp.asarray(blast, dt)
+        main = last = None
+        for k in range(q + (1 if r else 0)):
+            width = hop2 if k < q else r
+            v = blocks[..., k: k + T, :width]
+            lo = k * hop2
+            dm = jnp.matmul(v, B[lo: lo + width], precision=precision)
+            dl = jnp.matmul(v, BL[lo: lo + width], precision=precision)
+            main = dm if main is None else main + dm
+            last = dl if last is None else last + dl
+        outs.append((main.astype(acc), last.astype(acc)))
+
+    (E, e_last), (O, o_last) = outs
+    nb2 = (cfg.n_fft // 2) // 2
+    ctj = jnp.asarray(ct, acc)
+    stj = jnp.asarray(st, acc)
+    e_re, e_im = E[..., :nb2], E[..., nb2:]
+    o_re, o_im = O[..., :nb2], O[..., nb2:]
+    # B = W^j O[j] with the GEMMs producing (sum x cos, sum x sin) pairs:
+    # E[j] = e_re - i*e_im, O[j] = o_re - i*o_im, W^j = cos - i*sin.
+    b_re = ctj * o_re - stj * o_im
+    b_im = ctj * o_im + stj * o_re
+    p_plus = (e_re + b_re) ** 2 + (e_im + b_im) ** 2     # bins 0..nb2-1
+    p_minus = (e_re - b_re) ** 2 + (e_im - b_im) ** 2    # bins n_fft/2 - j
+    mid = e_last * e_last + o_last * o_last              # bin nb2 (E,O real)
+    p_lo = jnp.concatenate(
+        [p_plus, mid, jnp.flip(p_minus[..., 1:], axis=-1)], axis=-1)
+    return p_lo, p_minus[..., :1]
+
+
+def power_spectrum_split(
+    x: jnp.ndarray,
+    cfg: FeatureConfig,
+    *,
+    precision=None,
+):
+    """Algorithm dispatcher for the batch spectral stage (split contract).
+
+    cfg.dft_algorithm: "direct" = power_spectrum_blocked_split, "dit2" =
+    power_spectrum_dit_split, "auto" = dit2 when eligible (it is ~2x fewer
+    MACs and the pipeline is MXU-bound), else direct.
+    """
+    if resolve_dft_algorithm(cfg) == "dit2":
+        return power_spectrum_dit_split(x, cfg, precision=precision)
+    return power_spectrum_blocked_split(x, cfg, precision=precision)
 
 
 def log_energy_blocked(y: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
