@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes for CPU smoke runs")
     ap.add_argument("--algo", default="auto",
-                    choices=("auto", "direct", "dit2"),
+                    choices=("auto", "direct", "directc", "dit2", "dit2c"),
                     help="DFT factorization (cfg.dft_algorithm)")
     args = ap.parse_args()
 

@@ -22,7 +22,7 @@ WINDOWS = ("hamming", "hann", "povey", "rect")
 # Mel-scale conventions supported by ops/mel.py.
 MEL_SCALES = ("htk", "slaney")
 # DFT factorizations supported by ops/spectrum.py (batch path).
-DFT_ALGORITHMS = ("auto", "direct", "dit2")
+DFT_ALGORITHMS = ("auto", "direct", "directc", "dit2", "dit2c")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,14 +74,21 @@ class FeatureConfig:
     # — so "highest" is the default; "high"/"default" are opt-in fast
     # modes for NN-training features where 1e-3-ish error is fine.
     matmul_precision: str = "highest"
-    # Batch-path DFT factorization.  "direct": window-folded (frame_len,
-    # n_fft/2)-lane GEMM pair.  "dit2": radix-2 decimation-in-time — two
-    # half-length real DFTs (one per sample parity) + elementwise twiddle
-    # combine, exactly 2.0x fewer MXU MACs, numerically equivalent (same
-    # HIGHEST-precision GEMMs; measured parity vs oracle).  "auto" picks
-    # dit2 whenever eligible (n_fft % 4 == 0, even hop).  Streaming uses
-    # the frames path and is unaffected (batch-vs-streaming stays within
-    # the documented 1e-5).
+    # Batch-path DFT factorization (ops/spectrum.py):
+    #   "direct"  window-folded hop-block GEMM chain, no frame
+    #             materialization — the measured v5e winner (289.7k
+    #             audio-sec/s/chip median; bench/ab_dft.json)
+    #   "directc" direct DFT over concat-materialized frames (253.2k)
+    #   "dit2"    radix-2 decimation-in-time hop-block chain — two
+    #             half-length real DFTs (one per sample parity) +
+    #             elementwise twiddle combine, 2.0x fewer MACs (234.1k:
+    #             MAC savings < relayout cost in XLA)
+    #   "dit2c"   radix-2 DIT over concat frames (267.4k)
+    # All are numerically equivalent at HIGHEST precision (oracle-parity
+    # tested, tests/test_spectrum_algorithms.py).  "auto" resolves to the
+    # measured winner, "direct" — see resolve_dft_algorithm.  Streaming
+    # uses the frames path (same direct bases), so batch-vs-streaming
+    # parity is at f32 roundoff under auto (tests/test_streaming.py).
     dft_algorithm: str = "auto"
 
     # --- derived sizes ---------------------------------------------------
@@ -107,6 +114,17 @@ class FeatureConfig:
         """Final feature dimension (after optional deltas)."""
         base = self.n_mfcc
         return base * 3 if self.deltas else base
+
+    @property
+    def dit2_eligible(self) -> bool:
+        """Radix-2 DIT needs an even hop (so every frame start maps to a
+        whole index in each parity stream), n_fft % 4 == 0 (so the
+        half-length DFT has a real Nyquist bin the rank-1 column can
+        carry), and at least 2 samples per frame.  Single source of truth
+        — ops/spectrum.dit_eligible delegates here so validate() and the
+        dispatcher can't drift (ADVICE r1)."""
+        return (self.n_fft % 4 == 0 and self.hop_len % 2 == 0
+                and self.frame_len >= 2)
 
     def num_frames(self, n_samples: int) -> int:
         """Frames emitted for an ``n_samples``-long signal.
@@ -138,11 +156,11 @@ class FeatureConfig:
             raise ValueError(
                 f"dft_algorithm must be one of {DFT_ALGORITHMS}, "
                 f"got {self.dft_algorithm!r}")
-        if self.dft_algorithm == "dit2" and not (
-                self.n_fft % 4 == 0 and self.hop_len % 2 == 0):
+        if self.dft_algorithm == "dit2" and not self.dit2_eligible:
             raise ValueError(
-                "dft_algorithm='dit2' requires n_fft % 4 == 0 and an even "
-                "hop_len (use 'auto' to fall back automatically)")
+                "dft_algorithm='dit2' requires n_fft % 4 == 0, an even "
+                "hop_len, and frame_len >= 2 (use 'auto' to fall back "
+                "automatically)")
         return self
 
     # --- reproducibility -------------------------------------------------

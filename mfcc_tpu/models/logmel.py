@@ -14,7 +14,6 @@ import jax.numpy as jnp
 from ..config import FeatureConfig
 from .mfcc import (frame_lengths, frame_mask,  # noqa: F401 (re-export)
                    _features_from_audio)
-import jax.numpy as _jnp
 
 
 def log_mel(x: jnp.ndarray, cfg: FeatureConfig,
@@ -26,8 +25,8 @@ def log_mel(x: jnp.ndarray, cfg: FeatureConfig,
 def log_mel_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
                   cfg: FeatureConfig, backend: str = "auto"):
     """(B, N_pad), (B,) -> ((B, T, n_mels[*3]), (B,), (B, T))."""
-    if x.dtype == _jnp.int16:
-        x = x.astype(_jnp.float32) * (1.0 / 32768.0)
+    if x.dtype == jnp.int16:
+        x = x.astype(jnp.float32) * (1.0 / 32768.0)
     flens = frame_lengths(sample_lengths, cfg)
     feat = _features_from_audio(x, cfg,
                                 lengths=flens if cfg.deltas else None,

@@ -251,7 +251,7 @@ def fused_features(y: jnp.ndarray, cfg: FeatureConfig, *,
         functools.partial(_kernel, plan=plan),
         grid=(B, tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),     # audio blocks in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # audio blocks in HBM
             vmem_const, vmem_const, vmem_const, vmem_const,
         ],
         out_specs=pl.BlockSpec(

@@ -181,7 +181,6 @@ def power_spectrum_blocked(
     hop = cfg.hop_len
     y = x  # caller applies pre-emphasis (framing.preemphasize)
     blocks = hop_block_views(y, cfg)
-    R = blocks.shape[-2]
     T = cfg.num_frames(y.shape[-1])
     if T <= 0:
         return jnp.zeros((*y.shape[:-1], 0, cfg.n_bins), jnp.dtype(cfg.accum_dtype))
@@ -210,6 +209,156 @@ def power_spectrum_blocked(
     re = re.astype(acc)
     im = im.astype(acc)
     return re * re + im * im
+
+
+def _frames_by_concat(x: jnp.ndarray, block: int, T: int,
+                      n_blocks: int) -> jnp.ndarray:
+    """(..., N) -> (..., T, n_blocks*block): frame t = blocks t..t+n_blocks-1
+    of the non-overlapping ``block``-sample view, lane-concatenated."""
+    blocks = _block_view(x, block, T, n_blocks * block)
+    return jnp.concatenate(
+        [blocks[..., k: k + T, :] for k in range(n_blocks)], axis=-1)
+
+
+@functools.lru_cache(maxsize=32)
+def _concat_basis_cached(key):
+    """Direct split-bin bases with rows zero-padded from frame_len up to
+    n_blocks*hop (the concat-frame K), so the trailing concat columns —
+    which hold samples beyond the frame — contribute exactly zero."""
+    frame_len, n_fft, window, hop = key
+    cos_m, sin_m = _dft_matrices_cached((frame_len, n_fft, window))
+    n_blocks = -(-frame_len // hop)
+    K = n_blocks * hop
+    pad = ((0, K - frame_len), (0, 0))
+    return np.pad(cos_m, pad), np.pad(sin_m, pad)
+
+
+def power_spectrum_direct_concat(
+    x: jnp.ndarray,
+    cfg: FeatureConfig,
+    *,
+    precision=None,
+):
+    """"directc": split-bin direct DFT over concat-materialized frames.
+
+    Same numbers as power_spectrum_blocked_split, different GEMM shape:
+    instead of q+1 GEMMs with K=hop each (every one lane-padded by the MXU
+    from hop up to the next 128 multiple — 1.6x FLOP bloat at hop 160),
+    ONE (T, ceil(frame/hop)*hop) @ (K, n_fft/2) GEMM per component whose
+    K pads 480->512 (1.07x).  The frame matrix is materialized in VMEM/HBM
+    by a lane concat of static slices (no gather), trading ~4x more input
+    bytes for near-exact MXU utilization — the right trade while the
+    pipeline is compute-bound at HIGHEST precision (docs/performance.md).
+    """
+    hop = cfg.hop_len
+    T = cfg.num_frames(x.shape[-1])
+    acc = jnp.dtype(cfg.accum_dtype)
+    if T <= 0:
+        z = jnp.zeros((*x.shape[:-1], 0, cfg.n_bins - 1), acc)
+        return z, jnp.zeros((*x.shape[:-1], 0, 1), acc)
+    if precision is None:
+        precision = resolve_precision(cfg)
+    cos_m, sin_m = _concat_basis_cached(
+        (cfg.frame_len, cfg.n_fft, cfg.window, hop))
+    n_blocks = -(-cfg.frame_len // hop)
+    frames = _frames_by_concat(x, hop, T, n_blocks)
+    dt = jnp.dtype(cfg.compute_dtype)
+    frames = frames.astype(dt)
+    nb = cfg.n_bins - 1
+    c = jnp.asarray(cos_m[:, :nb], dt)
+    s = jnp.asarray(sin_m[:, :nb], dt)
+    chi = jnp.asarray(cos_m[:, nb:], dt)
+    shi = jnp.asarray(sin_m[:, nb:], dt)
+    re = jnp.matmul(frames, c, precision=precision).astype(acc)
+    im = jnp.matmul(frames, s, precision=precision).astype(acc)
+    rehi = jnp.matmul(frames, chi, precision=precision).astype(acc)
+    p_lo = re * re + im * im
+    p_hi = rehi * rehi
+    if cfg.n_fft % 2 != 0:
+        imhi = jnp.matmul(frames, shi, precision=precision).astype(acc)
+        p_hi = p_hi + imhi * imhi
+    return p_lo, p_hi
+
+
+def _dit_combine(E, e_last, O, o_last, cfg: FeatureConfig):
+    """Shared radix-2 twiddle-combine epilogue: per-parity half-length DFT
+    outputs (packed [cos | sin] + real Nyquist column) -> (p_lo, p_hi)."""
+    acc = jnp.dtype(cfg.accum_dtype)
+    _, _, ct, st = dit_matrices(cfg)
+    nb2 = (cfg.n_fft // 2) // 2
+    ctj = jnp.asarray(ct, acc)
+    stj = jnp.asarray(st, acc)
+    e_re, e_im = E[..., :nb2], E[..., nb2:]
+    o_re, o_im = O[..., :nb2], O[..., nb2:]
+    # B = W^j O[j] with the GEMMs producing (sum x cos, sum x sin) pairs:
+    # E[j] = e_re - i*e_im, O[j] = o_re - i*o_im, W^j = cos - i*sin.
+    b_re = ctj * o_re - stj * o_im
+    b_im = ctj * o_im + stj * o_re
+    p_plus = (e_re + b_re) ** 2 + (e_im + b_im) ** 2     # bins 0..nb2-1
+    p_minus = (e_re - b_re) ** 2 + (e_im - b_im) ** 2    # bins n_fft/2 - j
+    mid = e_last * e_last + o_last * o_last              # bin nb2 (E,O real)
+    p_lo = jnp.concatenate(
+        [p_plus, mid, jnp.flip(p_minus[..., 1:], axis=-1)], axis=-1)
+    return p_lo, p_minus[..., :1]
+
+
+@functools.lru_cache(maxsize=32)
+def _dit_concat_basis_cached(key):
+    """Per-parity DIT bases (basis, last) row-padded from the stream length
+    up to n_blocks*hop2 for the concat-frame GEMM."""
+    frame_len, n_fft, window, hop2 = key
+    (be, bel), (bo, bol), _ct, _st = _dit_matrices_cached(
+        (frame_len, n_fft, window))
+    out = []
+    for basis, last in ((be, bel), (bo, bol)):
+        L = basis.shape[0]
+        K = -(-L // hop2) * hop2
+        pad = ((0, K - L), (0, 0))
+        out.append((np.pad(basis, pad), np.pad(last, pad)))
+    return out[0], out[1]
+
+
+def power_spectrum_dit_concat(
+    x: jnp.ndarray,
+    cfg: FeatureConfig,
+    *,
+    precision=None,
+):
+    """"dit2c": radix-2 DIT over concat-materialized parity-stream frames.
+
+    The minimal-MAC formulation with near-exact MXU padding: per parity
+    stream ONE (T, ceil(L/hop2)*hop2) @ (K, n_fft/2) GEMM (+ rank-1
+    Nyquist), K padding 240->256 at 25/10 ms (1.07x over the 200 valid
+    rows' 1.28x intrinsic zero-rows) — vs dit2's per-block GEMMs whose
+    K=80 the MXU pads to 128 (1.6x).  2.0x fewer true MACs than direct,
+    with the twiddle combine fused into the GEMM epilogue by XLA.
+    """
+    if not dit_eligible(cfg):
+        raise ValueError("dit2c requires n_fft % 4 == 0 and even hop_len")
+    hop2 = cfg.hop_len // 2
+    T = cfg.num_frames(x.shape[-1])
+    acc = jnp.dtype(cfg.accum_dtype)
+    if T <= 0:
+        z = jnp.zeros((*x.shape[:-1], 0, cfg.n_bins - 1), acc)
+        return z, jnp.zeros((*x.shape[:-1], 0, 1), acc)
+    if precision is None:
+        precision = resolve_precision(cfg)
+    (be, bel), (bo, bol) = _dit_concat_basis_cached(
+        (cfg.frame_len, cfg.n_fft, cfg.window, hop2))
+    dt = jnp.dtype(cfg.compute_dtype)
+
+    outs = []
+    for s, basis, blast in ((0, be, bel), (1, bo, bol)):
+        d = x[..., s::2]
+        n_blocks = basis.shape[0] // hop2
+        frames = _frames_by_concat(d, hop2, T, n_blocks).astype(dt)
+        B = jnp.asarray(basis, dt)
+        BL = jnp.asarray(blast, dt)
+        main = jnp.matmul(frames, B, precision=precision)
+        last = jnp.matmul(frames, BL, precision=precision)
+        outs.append((main.astype(acc), last.astype(acc)))
+    (E, e_last), (O, o_last) = outs
+    return _dit_combine(E, e_last, O, o_last, cfg)
 
 
 @functools.lru_cache(maxsize=32)
@@ -242,16 +391,24 @@ def dit_matrices(cfg: FeatureConfig):
 
 
 def dit_eligible(cfg: FeatureConfig) -> bool:
-    """Radix-2 DIT needs an even hop (so every frame start maps to a whole
-    index in each parity stream) and n_fft % 4 == 0 (so the half-length DFT
-    has a real Nyquist bin that the rank-1 column can carry)."""
-    return cfg.n_fft % 4 == 0 and cfg.hop_len % 2 == 0 and cfg.frame_len >= 2
+    """Delegates to FeatureConfig.dit2_eligible (single source of truth)."""
+    return cfg.dit2_eligible
 
 
 def resolve_dft_algorithm(cfg: FeatureConfig) -> str:
+    """"auto" -> "direct": the measured v5e winner.
+
+    On-device A/B (bench/ab_dft.json + bench/ab_dft_concat.json, medians
+    of 7x100 iters, batch 64x10 s): direct 289.7k, dit2c 267.4k, directc
+    253.2k, dit2 234.1k audio-sec/s/chip.  Radix-2 halves true MACs but
+    every DIT variant loses in XLA — the parity deinterleave / frame
+    concat / bin-reorder relayouts cost more than the MAC savings buy at
+    these shapes.  The MAC reduction pays off only where intermediates
+    stay in VMEM, i.e. inside the fused Pallas kernel (kernels/).
+    """
     algo = getattr(cfg, "dft_algorithm", "auto")
     if algo == "auto":
-        return "dit2" if dit_eligible(cfg) else "direct"
+        return "direct"
     return algo
 
 
@@ -313,21 +470,7 @@ def power_spectrum_dit_split(
         outs.append((main.astype(acc), last.astype(acc)))
 
     (E, e_last), (O, o_last) = outs
-    nb2 = (cfg.n_fft // 2) // 2
-    ctj = jnp.asarray(ct, acc)
-    stj = jnp.asarray(st, acc)
-    e_re, e_im = E[..., :nb2], E[..., nb2:]
-    o_re, o_im = O[..., :nb2], O[..., nb2:]
-    # B = W^j O[j] with the GEMMs producing (sum x cos, sum x sin) pairs:
-    # E[j] = e_re - i*e_im, O[j] = o_re - i*o_im, W^j = cos - i*sin.
-    b_re = ctj * o_re - stj * o_im
-    b_im = ctj * o_im + stj * o_re
-    p_plus = (e_re + b_re) ** 2 + (e_im + b_im) ** 2     # bins 0..nb2-1
-    p_minus = (e_re - b_re) ** 2 + (e_im - b_im) ** 2    # bins n_fft/2 - j
-    mid = e_last * e_last + o_last * o_last              # bin nb2 (E,O real)
-    p_lo = jnp.concatenate(
-        [p_plus, mid, jnp.flip(p_minus[..., 1:], axis=-1)], axis=-1)
-    return p_lo, p_minus[..., :1]
+    return _dit_combine(E, e_last, O, o_last, cfg)
 
 
 def power_spectrum_split(
@@ -338,13 +481,19 @@ def power_spectrum_split(
 ):
     """Algorithm dispatcher for the batch spectral stage (split contract).
 
-    cfg.dft_algorithm: "direct" = power_spectrum_blocked_split, "dit2" =
-    power_spectrum_dit_split, "auto" = dit2 when eligible (it is ~2x fewer
-    MACs and the pipeline is MXU-bound), else direct.
+    cfg.dft_algorithm ("auto" resolves via resolve_dft_algorithm):
+    - "direct"  hop-block GEMM chain, split-bin (no frame materialization)
+    - "directc" direct DFT over concat-materialized frames (one big GEMM)
+    - "dit2"    radix-2 DIT hop-block chain (2x fewer true MACs)
+    - "dit2c"   radix-2 DIT over concat frames (2x fewer MACs AND ~exact
+                MXU lane padding — measured fastest on v5e, bench/ab_dft)
     """
-    if resolve_dft_algorithm(cfg) == "dit2":
-        return power_spectrum_dit_split(x, cfg, precision=precision)
-    return power_spectrum_blocked_split(x, cfg, precision=precision)
+    algo = resolve_dft_algorithm(cfg)
+    fn = {"direct": power_spectrum_blocked_split,
+          "directc": power_spectrum_direct_concat,
+          "dit2": power_spectrum_dit_split,
+          "dit2c": power_spectrum_dit_concat}[algo]
+    return fn(x, cfg, precision=precision)
 
 
 def log_energy_blocked(y: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:

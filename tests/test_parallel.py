@@ -37,7 +37,9 @@ def test_data_parallel_mfcc_matches_single_device(rng):
     feat_d, fl_d, mask_d = mfcc_model.mfcc_batch_jit(xd, ld, CFG)
     feat, fl, mask = mfcc_model.mfcc_batch_jit(
         jnp.asarray(xs), jnp.asarray(lens), CFG)
-    np.testing.assert_allclose(np.asarray(feat_d), np.asarray(feat), atol=1e-5)
+    # sharded and unsharded XLA programs fuse/round differently; measured
+    # worst-case drift ~1.2e-5 abs (~4e-5 rel) on |feat| up to ~17
+    np.testing.assert_allclose(np.asarray(feat_d), np.asarray(feat), atol=3e-5)
     np.testing.assert_array_equal(np.asarray(fl_d), np.asarray(fl))
 
 

@@ -21,19 +21,21 @@ ATOL = 1e-4
 CFG = FeatureConfig()
 
 
-def test_auto_resolves_dit2_for_default_config():
-    assert spectrum.resolve_dft_algorithm(CFG) == "dit2"
+def test_auto_resolves_to_measured_winner():
+    # direct won the on-device A/B (bench/ab_dft.json); dit2 variants are
+    # opt-in.  Eligibility still gates FORCED dit2 configs.
+    assert spectrum.resolve_dft_algorithm(CFG) == "direct"
     assert spectrum.dit_eligible(CFG)
 
 
-@pytest.mark.parametrize("variant, expect", [
-    (dict(hop_ms=10.0625), "direct"),   # hop 161 — odd hop
-    (dict(n_fft=1024, sample_rate=8000), "dit2"),
-    (dict(window="hann"), "dit2"),
+@pytest.mark.parametrize("variant", [
+    dict(hop_ms=10.0625),               # hop 161 — odd hop
+    dict(n_fft=1024, sample_rate=8000),
+    dict(window="hann"),
 ])
-def test_auto_fallback(variant, expect):
+def test_auto_fallback(variant):
     cfg = FeatureConfig(**variant).validate()
-    assert spectrum.resolve_dft_algorithm(cfg) == expect
+    assert spectrum.resolve_dft_algorithm(cfg) == "direct"
 
 
 def test_forced_dit2_on_ineligible_config_raises():
@@ -43,17 +45,24 @@ def test_forced_dit2_on_ineligible_config_raises():
         FeatureConfig(dft_algorithm="nope").validate()
 
 
-def test_spectrum_parity_direct_vs_dit(rng):
+@pytest.mark.parametrize("other", [
+    spectrum.power_spectrum_dit_split,
+    spectrum.power_spectrum_dit_concat,
+    spectrum.power_spectrum_direct_concat,
+])
+def test_spectrum_parity_vs_direct(rng, other):
     """Raw power spectra agree to f32 roundoff (relative to peak)."""
     x = (rng.standard_normal(16000) * 0.3).astype(np.float32)
     y = framing.preemphasize(jnp.asarray(x), CFG)
     lo_d, hi_d = spectrum.power_spectrum_blocked_split(y, CFG)
-    lo_t, hi_t = spectrum.power_spectrum_dit_split(y, CFG)
+    lo_t, hi_t = other(y, CFG)
     peak = float(np.asarray(lo_d).max())
+    assert np.asarray(lo_d).shape == np.asarray(lo_t).shape
     assert np.abs(np.asarray(lo_d) - np.asarray(lo_t)).max() < 3e-6 * peak
     assert np.abs(np.asarray(hi_d) - np.asarray(hi_t)).max() < 3e-6 * peak
 
 
+@pytest.mark.parametrize("algo", ["dit2", "dit2c", "directc"])
 @pytest.mark.parametrize("variant", [
     dict(),
     dict(window="povey"),
@@ -64,8 +73,8 @@ def test_spectrum_parity_direct_vs_dit(rng):
     dict(frame_ms=25.125),              # frame_len 402 — uneven parity split
     dict(frame_ms=25.0625),             # frame_len 401 — odd frame_len
 ])
-def test_dit_end_to_end_vs_oracle(rng, variant):
-    cfg = FeatureConfig(dft_algorithm="dit2", **variant).validate()
+def test_dit_end_to_end_vs_oracle(rng, algo, variant):
+    cfg = FeatureConfig(dft_algorithm=algo, **variant).validate()
     n = cfg.sample_rate  # 1 s
     x = (rng.standard_normal(n) * 0.3).astype(np.float32)
     got = np.asarray(mfcc_model.mfcc_jit(jnp.asarray(x), cfg))
@@ -74,7 +83,7 @@ def test_dit_end_to_end_vs_oracle(rng, variant):
     np.testing.assert_allclose(got, want, atol=ATOL)
 
 
-@pytest.mark.parametrize("algo", ["direct", "dit2"])
+@pytest.mark.parametrize("algo", ["direct", "directc", "dit2", "dit2c"])
 @pytest.mark.parametrize("n", [560, 639, 641, 799, 15999, 8081])
 def test_awkward_lengths_vs_oracle(rng, algo, n):
     """Lengths whose tail hop block is partial (regression: truncated

@@ -1,6 +1,7 @@
 """Streaming == batch bit-exactness (config 4 contract)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from mfcc_tpu import FeatureConfig, oracle
@@ -29,6 +30,23 @@ def test_streaming_matches_batch(speechlike):
     # streaming emits only frames fully contained in delivered samples
     assert got.shape[0] == CFG.num_frames(len(speechlike))
     np.testing.assert_allclose(got, want[: got.shape[0]], atol=1e-5)
+
+
+@pytest.mark.parametrize("algo, tol", [
+    ("direct", 1e-5),   # streaming uses the same direct bases: f32 roundoff
+    ("directc", 1e-5),
+    ("dit2", 3e-5),     # different summation order; measured ~1.2e-5 worst
+    ("dit2c", 3e-5),    # case on unit-variance noise (ADVICE r1), bound 3e-5
+])
+def test_streaming_matches_batch_per_algorithm(speechlike, algo, tol):
+    """Streaming always runs the direct frames path; the batch side may be
+    configured to any factorization.  Pin the measured cross-algorithm
+    agreement bound so a future default flip can't silently break the
+    streaming contract (ADVICE r1, medium)."""
+    cfg = FeatureConfig(dft_algorithm=algo).validate()
+    got, _ = _stream_all(speechlike, cfg, chunk_frames=10)
+    want = np.asarray(mfcc_model.mfcc_jit(jnp.asarray(speechlike), cfg))
+    np.testing.assert_allclose(got, want[: got.shape[0]], atol=tol)
 
 
 def test_streaming_matches_oracle(speechlike):
