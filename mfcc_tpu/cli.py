@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--fmax", type=float, default=None)
     f.add_argument("--mel-scale", default="htk", choices=["htk", "slaney"])
     f.add_argument("--lifter", type=int, default=0)
+    f.add_argument("--dither", type=float, default=0.0,
+                   help="seeded waveform dither RMS in [-1,1] units "
+                        "(Kaldi's 1-LSB default = 1/32768 ~= 3.05e-5)")
+    f.add_argument("--dither-seed", type=int, default=0)
+    f.add_argument("--dft-algorithm", default="auto",
+                   choices=["auto", "direct", "directc", "dit2", "dit2c"],
+                   help="batch DFT factorization (auto = measured winner)")
     f.add_argument("--append-energy", action="store_true")
     f.add_argument("--deltas", action="store_true",
                    help="append delta + delta-delta")
@@ -66,6 +73,8 @@ def config_from_args(a) -> FeatureConfig:
         n_fft=a.n_fft, window=a.window, preemph=a.preemph,
         n_mels=n_mels, n_mfcc=n_mfcc, fmin=a.fmin, fmax=a.fmax,
         mel_scale=a.mel_scale, lifter=a.lifter,
+        dither=a.dither, dither_seed=a.dither_seed,
+        dft_algorithm=a.dft_algorithm,
         append_energy=a.append_energy, deltas=a.deltas, cmvn=a.cmvn,
     ).validate()
 

@@ -41,6 +41,13 @@ class FeatureConfig:
     n_fft: int = 512
     window: str = "hamming"
     preemph: float = 0.97          # 0.0 disables pre-emphasis
+    # seeded reproducible waveform dither (ops/dither.py): noise RMS in
+    # input units ([-1, 1] floats); Kaldi's default "1 LSB of int16" is
+    # dither.KALDI_ONE_LSB (~3.05e-5).  0.0 disables (default).  Applied
+    # identically (same seed, same counter-based generator) in the oracle
+    # and every pipeline, so parity tests bind with dither on.
+    dither: float = 0.0
+    dither_seed: int = 0
     # --- mel -------------------------------------------------------------
     n_mels: int = 26
     fmin: float = 0.0
@@ -150,6 +157,8 @@ class FeatureConfig:
             raise ValueError("n_mfcc must be <= n_mels")
         if not (0.0 <= self.preemph < 1.0):
             raise ValueError("preemph must be in [0, 1)")
+        if self.dither < 0.0:
+            raise ValueError("dither must be >= 0")
         if self.fmax is not None and self.fmax <= self.fmin:
             raise ValueError("fmax must be > fmin")
         if self.dft_algorithm not in DFT_ALGORITHMS:

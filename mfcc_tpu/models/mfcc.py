@@ -51,14 +51,18 @@ def _features_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
     (spectrum.power_spectrum_blocked).  backend "pallas": single fused
     kernel (ops/kernels/fused_mfcc), interpret-mode off-TPU.
     """
+    if cfg.dither > 0.0:
+        from ..ops import dither as dither_op
+        with jax.named_scope("dither"):
+            x = dither_op.apply_jax(x, cfg)
     with jax.named_scope("preemph"):
         y = framing.preemphasize(x, cfg)
     if backend_lib.resolve(backend) == "pallas":
-        from ..ops.kernels import fused_mfcc
+        from ..ops import kernels
         squeeze = y.ndim == 1
         yb = y[None, :] if squeeze else y
         with jax.named_scope("fused_mfcc_kernel"):
-            feat = fused_mfcc.fused_features(
+            feat = kernels.fused_features_auto(
                 yb, cfg, apply_dct=apply_dct,
                 interpret=backend_lib.pallas_interpret())
         if squeeze:

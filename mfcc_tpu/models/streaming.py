@@ -72,6 +72,11 @@ def process_chunk(state: StreamState, chunk: jnp.ndarray,
     n_slots = C // hop
     if chunk.dtype == jnp.int16:
         chunk = chunk.astype(jnp.float32) * (1.0 / 32768.0)
+    if cfg.dither > 0.0:
+        # noise indexed by ABSOLUTE sample position -> bit-consistent with
+        # the batch pipeline dithering the whole signal (ops/dither.py)
+        from ..ops import dither as dither_op
+        chunk = dither_op.apply_jax(chunk, cfg, start=state.samples_seen)
 
     carry = state.carry
     # stream start: pre-emphasis predecessor of sample 0 is sample 0 itself

@@ -4,8 +4,12 @@ The TPU-native analog of the reference's native (C) implementation layer
 (SURVEY.md §2b): where the reference hand-writes scalar loops in C, this
 framework hand-writes MXU/VPU kernels in Pallas.
 
-- :mod:`fused_mfcc` — single-kernel audio -> cepstra: hop-block DFT GEMMs,
-  power, mel projection, accurate log, DCT, all resident in VMEM.
+- :mod:`fused_dit` — single-kernel audio -> cepstra via the radix-2 DIT
+  factorization done entirely in VMEM (2x fewer MACs than direct; the
+  golden TPU path — see fused_dit module docstring for why this wins in
+  Pallas but loses in XLA).
+- :mod:`fused_mfcc` — single-kernel direct hop-block variant (fallback
+  for configs the DIT kernel can't take: odd hop, n_fft % 4 != 0).
 
 Every kernel ships with an ``interpret=True`` parity path and is tested
 against the jnp stages on CPU (tests/test_kernels.py) — the TPU analog of
@@ -13,3 +17,13 @@ a sanitizer build (SURVEY.md §5).
 """
 
 from . import fused_mfcc  # noqa: F401
+from . import fused_dit   # noqa: F401
+
+
+def fused_features_auto(y, cfg, *, apply_dct=True, interpret=False):
+    """Backend "pallas" entry: DIT kernel when eligible, else direct."""
+    if fused_dit.dit_kernel_eligible(cfg):
+        return fused_dit.fused_features_dit(
+            y, cfg, apply_dct=apply_dct, interpret=interpret)
+    return fused_mfcc.fused_features(
+        y, cfg, apply_dct=apply_dct, interpret=interpret)

@@ -203,9 +203,16 @@ def deltas(feat: np.ndarray, window: int = 2) -> np.ndarray:
 # End-to-end
 # --------------------------------------------------------------------------
 
+def _dither(x: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
+    if getattr(cfg, "dither", 0.0) == 0.0:
+        return x
+    from .ops import dither as dither_op
+    return dither_op.apply_np(np.asarray(x, np.float64), cfg)
+
+
 def mfcc(x: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
     """Full float64 MFCC pipeline: (n_samples,) -> (T, n_feats)."""
-    frames = frame_signal(x, cfg)
+    frames = frame_signal(_dither(x, cfg), cfg)
     if frames.shape[0] == 0:
         return np.zeros((0, cfg.n_feats), dtype=np.float64)
     power = power_spectrum(frames, cfg)
@@ -222,7 +229,7 @@ def mfcc(x: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
 
 def log_mel(x: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
     """Log-mel variant (DCT skipped): (n_samples,) -> (T, n_mels[*3])."""
-    frames = frame_signal(x, cfg)
+    frames = frame_signal(_dither(x, cfg), cfg)
     if frames.shape[0] == 0:
         n = cfg.n_mels * (3 if cfg.deltas else 1)
         return np.zeros((0, n), dtype=np.float64)

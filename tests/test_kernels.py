@@ -9,7 +9,7 @@ import pytest
 
 from mfcc_tpu import FeatureConfig, oracle
 from mfcc_tpu.ops import framing
-from mfcc_tpu.ops.kernels import fused_mfcc
+from mfcc_tpu.ops.kernels import fused_dit, fused_mfcc
 from mfcc_tpu.models import mfcc as mfcc_model
 
 ATOL = 1e-4
@@ -76,3 +76,93 @@ def test_fused_kernel_short_signal():
     y = jnp.zeros((1, 300), jnp.float32)     # < frame_len
     got = fused_mfcc.fused_features(y, CFG, interpret=True)
     assert got.shape == (1, 0, 13)
+
+
+# ---------------------------------------------------------------------------
+# fused_dit: the radix-2 VMEM kernel (golden TPU path)
+# ---------------------------------------------------------------------------
+
+def test_dit_kernel_matches_oracle(rng):
+    x = (rng.standard_normal((2, 16000)) * 0.3).astype(np.float32)
+    assert fused_dit.dit_kernel_eligible(CFG)
+    got = np.asarray(fused_dit.fused_features_dit(_preemph(x), CFG,
+                                                  interpret=True))
+    assert got.shape == (2, 98, 13)
+    for b in range(2):
+        want = oracle.mfcc(x[b].astype(np.float64), CFG)
+        np.testing.assert_allclose(got[b], want, atol=ATOL)
+
+
+def test_dit_kernel_matches_jnp_dit_path(rng):
+    """Same factorization in jnp (dit2c) vs in the kernel: float noise."""
+    x = (rng.standard_normal((2, 12000)) * 0.3).astype(np.float32)
+    cfg = FeatureConfig(dft_algorithm="dit2c").validate()
+    y = framing.preemphasize(jnp.asarray(x), cfg)
+    got = np.asarray(fused_dit.fused_features_dit(y, cfg, interpret=True))
+    lens = np.full((2,), 12000, np.int32)
+    want, _, _ = mfcc_model.mfcc_batch_jit(
+        jnp.asarray(x), jnp.asarray(lens), cfg)
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("variant", [
+    dict(),                               # 400/160: nbe=nbo=3, K 240->256
+    dict(frame_ms=25.0625),               # frame_len 401: uneven streams
+    dict(n_fft=1024),                     # nb2 = 256
+    dict(sample_rate=8000, n_fft=256, n_mels=20),  # nb2 = 64
+    dict(append_energy=True),
+    dict(lifter=22),
+    dict(dynamic_range_db=80.0),
+])
+def test_dit_kernel_variants_vs_oracle(rng, variant):
+    cfg = FeatureConfig(**variant).validate()
+    if not fused_dit.dit_kernel_eligible(cfg):
+        pytest.skip("config not DIT-kernel eligible")
+    n = cfg.sample_rate
+    x = (rng.standard_normal((1, n)) * 0.3).astype(np.float32)
+    y = framing.preemphasize(jnp.asarray(x), cfg)
+    got = np.asarray(fused_dit.fused_features_dit(y, cfg, interpret=True))
+    want = oracle.mfcc(x[0].astype(np.float64), cfg)
+    assert got.shape[1:] == want.shape
+    # liftering scales coefficient i by up to 1 + lifter/2 (~12x at 22),
+    # amplifying f32 noise by the same factor: compare in the unliftered
+    # space so the 1e-4 contract means the same thing for every variant
+    lift = oracle.lifter_coeffs(cfg.n_mfcc, cfg.lifter)
+    np.testing.assert_allclose(got[0] / lift, want / lift, atol=ATOL)
+
+
+def test_dit_kernel_logmel_mode(rng):
+    cfg = FeatureConfig(n_mels=80, n_mfcc=80).validate()
+    x = (rng.standard_normal((2, 8000)) * 0.3).astype(np.float32)
+    y = framing.preemphasize(jnp.asarray(x), cfg)
+    got = np.asarray(fused_dit.fused_features_dit(
+        y, cfg, apply_dct=False, interpret=True))
+    assert got.shape == (2, cfg.num_frames(8000), 80)
+    p = np.asarray(y[0], np.float64)
+    # interpret-mode parity vs a float64 log-mel of the same preemph signal
+    from mfcc_tpu.models import logmel as logmel_model
+    want, _, _ = logmel_model.log_mel_batch_jit(
+        jnp.asarray(x), jnp.asarray(np.full((2,), 8000, np.int32)), cfg)
+    # deep spectral valleys are f32-limited in ABSOLUTE log terms
+    # (docs/conventions.md): two exact-f32 pipelines legitimately differ
+    # there, so bound the relative log error plus a small absolute floor
+    np.testing.assert_allclose(got, np.asarray(want)[:, :got.shape[1]],
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_dit_kernel_non_tile_multiple(rng):
+    x = (rng.standard_normal((1, 16000)) * 0.3).astype(np.float32)
+    got = np.asarray(fused_dit.fused_features_dit(
+        _preemph(x), CFG, tile_t=64, interpret=True))
+    want = oracle.mfcc(x[0].astype(np.float64), CFG)
+    assert got.shape == (1, 98, 13)
+    np.testing.assert_allclose(got[0], want, atol=ATOL)
+
+
+def test_pallas_backend_routes_to_dit(rng):
+    """backend='pallas' end-to-end (interpret on CPU) uses the DIT kernel
+    for the default config and matches the oracle."""
+    x = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+    got = np.asarray(mfcc_model.mfcc_jit(jnp.asarray(x), CFG, "pallas"))
+    want = oracle.mfcc(x.astype(np.float64), CFG)
+    np.testing.assert_allclose(got, want, atol=ATOL)
