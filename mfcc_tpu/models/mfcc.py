@@ -57,7 +57,7 @@ def _features_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
             x = dither_op.apply_jax(x, cfg)
     with jax.named_scope("preemph"):
         y = framing.preemphasize(x, cfg)
-    if backend_lib.resolve(backend) == "pallas":
+    if backend_lib.resolve(backend, cfg) == "pallas":
         from ..ops import kernels
         squeeze = y.ndim == 1
         yb = y[None, :] if squeeze else y

@@ -144,6 +144,38 @@ def process_chunk_batch_jit(state: StreamState, chunks: jnp.ndarray,
     return jax.vmap(partial(process_chunk, cfg=cfg))(state, chunks)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def process_chunks_jit(state: StreamState, chunks: jnp.ndarray,
+                       cfg: FeatureConfig):
+    """Dispatch-amortized serving: advance ONE stream by K chunks in one
+    device call (lax.scan stays resident on-chip).
+
+    chunks: (K, chunk_frames*hop).  Single-chunk dispatch is round-trip
+    bound (~2.8 ms through this environment's relay for ~2 ms of
+    compute); batching K chunks per dispatch divides the round-trip by K
+    while adding only K-1 chunk-times of latency — the knob between
+    lowest latency (K=1) and highest single-stream throughput (large K).
+    Returns (state', feats (K, chunk_frames, n_mfcc), n_valid (K,)).
+    Bit-identical to K sequential process_chunk calls
+    (tests/test_streaming.py).
+    """
+    def step(st, ch):
+        st, feat, nv = process_chunk(st, ch, cfg)
+        return st, (feat, nv)
+
+    final, (feats, nvs) = jax.lax.scan(step, state, chunks)
+    return final, feats, nvs
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def process_chunks_batch_jit(state: StreamState, chunks: jnp.ndarray,
+                             cfg: FeatureConfig):
+    """B concurrent sessions x K chunks per dispatch: vmap over sessions
+    of the on-device scan.  chunks: (B, K, chunk_frames*hop).  Returns
+    (state', feats (B, K, chunk_frames, n_mfcc), n_valid (B, K))."""
+    return jax.vmap(partial(process_chunks_jit, cfg=cfg))(state, chunks)
+
+
 @partial(jax.jit, static_argnames=("cfg", "chunk_frames"))
 def stream_signal(x: jnp.ndarray, cfg: FeatureConfig,
                   chunk_frames: int = 64):

@@ -47,3 +47,54 @@ def test_two_process_global_cmvn(tmp_path, rng):
     for p, o in zip(procs, outs):
         assert p.returncode == 0, o[-2000:]
     assert (tmp_path / "mp_ok").exists(), outs[0][-2000:]
+
+
+@pytest.mark.slow
+def test_two_process_runner_end_to_end(tmp_path, rng):
+    """The PRODUCTION runner on 2 processes: host-sharded corpus, local
+    compute, per-host writers/manifests, global float64 CMVN — outputs
+    must match a single-process run of the same corpus (VERDICT r1 #4)."""
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for i in range(9):          # odd count: uneven host shards
+        x = (rng.standard_normal(int(rng.integers(8000, 14000)))
+             * 0.3).astype(np.float32)
+        wav.write_wav(corpus / f"u{i}.wav", x, 16000)
+
+    # single-process reference (fresh interpreter: no jax.distributed)
+    ref_dir = tmp_path / "ref"
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.argv=['x']; "
+         "from mfcc_tpu import FeatureConfig, runner; "
+         f"runner.run({str(str(corpus))!r}, "
+         "FeatureConfig(cmvn=True).validate(), "
+         f"runner.RunnerOptions(out_dir={str(str(ref_dir))!r}, "
+         "batch_size=2))"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    out_dir = tmp_path / "out"
+    worker = os.path.join(os.path.dirname(__file__), "mp_runner_worker.py")
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), str(port), str(corpus),
+         str(out_dir)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+
+    # every utterance present exactly once, equal to the single-process
+    # run (global stats are identical f64 sums up to summation order)
+    for i in range(9):
+        want = np.load(ref_dir / f"u{i}.npy")
+        got = np.load(out_dir / f"u{i}.npy")
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    # per-host manifests + reports exist
+    assert (out_dir / "manifest.0.json").exists()
+    assert (out_dir / "manifest.1.json").exists()
+    assert (out_dir / "run_report.0.json").exists()
+    assert (out_dir / "run_report.1.json").exists()

@@ -157,3 +157,39 @@ def test_streaming_int16_chunks(rng):
     st2, ff, nv2 = streaming.process_chunk_jit(st2, jnp.asarray(xf), CFG)
     assert int(nv) == int(nv2)
     np.testing.assert_allclose(np.asarray(f16), np.asarray(ff), atol=1e-6)
+
+
+def test_multichunk_dispatch_matches_stepwise(speechlike):
+    """process_chunks_jit (K chunks per device call) == K sequential
+    process_chunk calls, bit-exact."""
+    K, CF = 5, 10
+    C = CF * CFG.hop_len
+    x = speechlike[: K * C]
+    chunks = jnp.asarray(x.reshape(K, C))
+    st0 = streaming.init_state(CFG)
+    st_scan, feats, nvs = streaming.process_chunks_jit(st0, chunks, CFG)
+    st = st0
+    for k in range(K):
+        st, f, nv = streaming.process_chunk_jit(st, chunks[k], CFG)
+        np.testing.assert_array_equal(np.asarray(feats[k]), np.asarray(f))
+        assert int(nvs[k]) == int(nv)
+    np.testing.assert_array_equal(np.asarray(st_scan.carry),
+                                  np.asarray(st.carry))
+    assert int(st_scan.frames_done) == int(st.frames_done)
+
+
+def test_multichunk_multisession_dispatch(speechlike):
+    """(B sessions x K chunks) per dispatch == per-session scans."""
+    B, K, CF = 3, 4, 8
+    C = CF * CFG.hop_len
+    xs = np.stack([np.roll(speechlike, 100 * b)[: K * C] for b in range(B)])
+    chunks = jnp.asarray(xs.reshape(B, K, C))
+    st0 = streaming.init_state_batch(B, CFG)
+    st, feats, nvs = streaming.process_chunks_batch_jit(st0, chunks, CFG)
+    assert feats.shape == (B, K, CF, CFG.n_mfcc)
+    for b in range(B):
+        _, f1, nv1 = streaming.process_chunks_jit(
+            streaming.init_state(CFG), chunks[b], CFG)
+        # vmapped GEMMs batch/reassociate differently: f32 noise, not bits
+        np.testing.assert_allclose(np.asarray(feats[b]), np.asarray(f1),
+                                   atol=1e-5)
