@@ -114,17 +114,48 @@ def main():
     want4 = oracle.mfcc(xs.astype(np.float64), cfg)[: int(total)]
     nz = np.where(np.any(np.asarray(feats) != 0.0, axis=1))[0][: want4.shape[0]]
     err4 = float(np.abs(np.asarray(feats)[nz] - want4).max())
+    # single-chunk dispatch (latency) vs K-chunks-per-dispatch (amortized
+    # single-stream throughput) vs B-sessions-per-dispatch (serving)
+    st1 = streaming.init_state(cfg)
+    one = jnp.asarray(xs[:C])
+    dt1 = timed(lambda: streaming.process_chunk_jit(st1, one, cfg)[1])
+    K = len(xs) // C
+    chunks = jnp.asarray(xs.reshape(K, C))
+    dtk = timed(lambda: streaming.process_chunks_jit(st1, chunks, cfg)[1])
+    Bs = 4 if args.small else 64
+    stb = streaming.init_state_batch(Bs, cfg)
+    cb = jnp.asarray(np.tile(xs[:C], (Bs, 1)))
+    dtb = timed(lambda: streaming.process_chunk_batch_jit(stb, cb, cfg)[1])
     results["config4_streaming"] = {
-        "audio_sec_per_s": (len(xs) / sr) / dt,
+        "audio_sec_per_s_scan_driver": (len(xs) / sr) / dt,
         "chunk_ms": 1000.0 * C / sr,
-        "per_chunk_latency_ms": 1000.0 * dt / (len(xs) // C),
+        "single_chunk_dispatch_latency_ms": 1000.0 * dt1,
+        "single_stream_audio_sec_per_s_1chunk": (C / sr) / dt1,
+        "single_stream_audio_sec_per_s_Kchunks": (len(xs) / sr) / dtk,
+        "chunks_per_dispatch_K": K,
+        "serving_sessions": Bs,
+        "serving_audio_sec_per_s": Bs * (C / sr) / dtb,
+        "serving_per_dispatch_latency_ms": 1000.0 * dtb,
         "max_abs_error_vs_oracle": err4}
 
     # config 5: functional multi-host validation is covered by
-    # __graft_entry__.dryrun_multichip on a fake pod; record device count
+    # __graft_entry__.dryrun_multichip on a fake pod, the 2-process
+    # runner e2e test, and the scaling harness (bench/scaling.py ->
+    # bench/scaling.json: weak-scaling efficiency + collective overhead)
     results["config5_multihost"] = {
-        "validated": "fake-pod (8 CPU devices) via dryrun_multichip",
+        "validated": "fake-pod dryrun_multichip + 2-process runner e2e",
+        "scaling_harness": "bench/scaling.py (see bench/scaling.json)",
         "n_devices_here": jax.device_count()}
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        ws = sc.get("weak_scaling_fake_pod", {})
+        results["config5_multihost"]["weak_scaling_efficiency"] = ws.get(
+            "efficiency_vs_1dev")
+        results["config5_multihost"]["stats_step_overhead_frac"] = ws.get(
+            "stats_step_overhead_frac")
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "results.json")

