@@ -29,7 +29,8 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes for CPU smoke runs")
     ap.add_argument("--algo", default="auto",
-                    choices=("auto", "direct", "directc", "dit2", "dit2c"),
+                    choices=("auto", "direct", "directc", "dit2", "dit2c",
+                             "dit4c"),
                     help="DFT factorization (cfg.dft_algorithm)")
     args = ap.parse_args()
 

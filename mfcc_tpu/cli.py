@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", default="npy",
                    choices=["npy", "ark", "tfrecord"],
                    help=".npy per utterance, Kaldi .ark/.scp, or TFRecord")
+    p.add_argument("--resample", action="store_true",
+                   help="convert foreign-rate WAVs to --sample-rate "
+                        "(Kaiser polyphase) instead of quarantining them")
 
     f = p.add_argument_group("feature config")
     f.add_argument("--sample-rate", type=int, default=16000)
@@ -53,7 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(Kaldi's 1-LSB default = 1/32768 ~= 3.05e-5)")
     f.add_argument("--dither-seed", type=int, default=0)
     f.add_argument("--dft-algorithm", default="auto",
-                   choices=["auto", "direct", "directc", "dit2", "dit2c"],
+                   choices=["auto", "direct", "directc", "dit2", "dit2c",
+                            "dit4c"],
                    help="batch DFT factorization (auto = measured winner)")
     f.add_argument("--append-energy", action="store_true")
     f.add_argument("--deltas", action="store_true",
@@ -85,7 +89,7 @@ def main(argv=None) -> int:
     opts = RunnerOptions(
         out_dir=a.out, batch_size=a.batch_size, logmel=a.logmel,
         resume=not a.no_resume, trace_dir=a.trace_dir, backend=a.backend,
-        out_format=a.format)
+        out_format=a.format, resample=a.resample)
     rep = run(a.input, cfg, opts)
     print(rep.dump())
     if rep.n_utterances == 0:

@@ -22,7 +22,7 @@ WINDOWS = ("hamming", "hann", "povey", "rect")
 # Mel-scale conventions supported by ops/mel.py.
 MEL_SCALES = ("htk", "slaney")
 # DFT factorizations supported by ops/spectrum.py (batch path).
-DFT_ALGORITHMS = ("auto", "direct", "directc", "dit2", "dit2c")
+DFT_ALGORITHMS = ("auto", "direct", "directc", "dit2", "dit2c", "dit4c")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,6 +91,11 @@ class FeatureConfig:
     #             elementwise twiddle combine, 2.0x fewer MACs (234.1k:
     #             MAC savings < relayout cost in XLA)
     #   "dit2c"   radix-2 DIT over concat frames (267.4k)
+    #   "dit4c"   two-stage Cooley-Tukey (radix-4 DIT) over concat
+    #             frames — 4 quarter-length real DFTs + two twiddle
+    #             levels, 3.3x fewer true MACs than direct (measured on
+    #             v5e: the extra combine/relayout passes cost more than
+    #             the MACs buy in XLA; see bench/ab_dft.json)
     # All are numerically equivalent at HIGHEST precision (oracle-parity
     # tested, tests/test_spectrum_algorithms.py).  "auto" resolves to the
     # measured winner, "direct" — see resolve_dft_algorithm.  Streaming
@@ -133,6 +138,16 @@ class FeatureConfig:
         return (self.n_fft % 4 == 0 and self.hop_len % 2 == 0
                 and self.frame_len >= 2)
 
+    @property
+    def dit4_eligible(self) -> bool:
+        """Two-stage Cooley-Tukey (radix-4 DIT) needs hop divisible by 4
+        (frame starts map to whole indices in all four sample-parity
+        streams), n_fft % 8 == 0 (the quarter-length DFT has a real
+        Nyquist bin), and at least 4 samples per frame.  Single source of
+        truth for validate() and ops/spectrum.dit4_eligible."""
+        return (self.n_fft % 8 == 0 and self.hop_len % 4 == 0
+                and self.frame_len >= 4)
+
     def num_frames(self, n_samples: int) -> int:
         """Frames emitted for an ``n_samples``-long signal.
 
@@ -165,10 +180,15 @@ class FeatureConfig:
             raise ValueError(
                 f"dft_algorithm must be one of {DFT_ALGORITHMS}, "
                 f"got {self.dft_algorithm!r}")
-        if self.dft_algorithm == "dit2" and not self.dit2_eligible:
+        if self.dft_algorithm in ("dit2", "dit2c") and not self.dit2_eligible:
             raise ValueError(
-                "dft_algorithm='dit2' requires n_fft % 4 == 0, an even "
-                "hop_len, and frame_len >= 2 (use 'auto' to fall back "
+                f"dft_algorithm={self.dft_algorithm!r} requires n_fft % 4 "
+                "== 0, an even hop_len, and frame_len >= 2 (use 'auto' to "
+                "fall back automatically)")
+        if self.dft_algorithm == "dit4c" and not self.dit4_eligible:
+            raise ValueError(
+                "dft_algorithm='dit4c' requires n_fft % 8 == 0, hop_len % 4 "
+                "== 0, and frame_len >= 4 (use 'auto' to fall back "
                 "automatically)")
         return self
 

@@ -1,0 +1,153 @@
+"""Sample-rate conversion as ONE GEMM (TPU-native polyphase resampler).
+
+Production corpora are not uniformly 16 kHz; a front-end that quarantines
+every 8/22.05/44.1/48 kHz file (the round-1 behavior) is incomplete.  This
+module provides rational-ratio resampling (upsample L, Kaiser-windowed-sinc
+lowpass, downsample M) in the same GEMM-native style as the DFT stage:
+
+    y[b*L + p] = dot(x[b*M + lo : b*M + lo + W], H[:, p])
+
+i.e. the polyphase filter bank is laid out as a single (W, L) matrix H and
+the signal as overlapping width-W frames strided by M — which on TPU is the
+same zero-copy hop-block concat the spectral stage uses, so the whole
+resampler is one MXU matmul per signal.  No scalar loops, no dynamic
+shapes, no scatter.
+
+Filter design matches scipy.signal.resample_poly's default: a Kaiser
+(beta 5.0) windowed sinc with 10*max(L, M) taps per side, cutoff at the
+lower of the two Nyquists, DC gain exactly L after normalization; edges
+are zero-padded and group delay is removed, so y[j] estimates x(j*M/L)
+and len(y) = ceil(n*L/M).  Cross-checked against scipy in
+tests/test_resample.py; the float64 NumPy twin (`resample_poly_numpy`) is
+the oracle and the host-side fallback used by the corpus runner.
+
+Reference analog: the reference compiler rejects any input it cannot
+tokenize by exiting (/root/reference/src/mfcc/main.c:73-82); a feature
+framework must instead convert foreign-but-valid inputs to the contract
+rate (SURVEY.md §5 failure-handling: quarantine only what is *corrupt*).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .spectrum import _frames_by_concat
+
+
+def reduce_ratio(sr_in: int, sr_out: int) -> tuple[int, int]:
+    """(L, M) in lowest terms with sr_out = sr_in * L / M."""
+    g = math.gcd(int(sr_in), int(sr_out))
+    return int(sr_out) // g, int(sr_in) // g
+
+
+def resampled_length(n: int, sr_in: int, sr_out: int) -> int:
+    """Output sample count: ceil(n * L / M) (scipy convention)."""
+    L, M = reduce_ratio(sr_in, sr_out)
+    return -(-n * L // M)
+
+
+@functools.lru_cache(maxsize=32)
+def _kaiser_sinc(L: int, M: int) -> np.ndarray:
+    """Float64 anti-alias/interpolation FIR, scipy-compatible design:
+    half length 10*max(L, M), Kaiser beta 5.0, cutoff 1/max(L, M) of the
+    upsampled Nyquist, normalized to DC gain 1 then scaled by L (the
+    upsampler's energy loss)."""
+    max_lm = max(L, M)
+    half = 10 * max_lm
+    taps = 2 * half + 1
+    m = np.arange(taps, dtype=np.float64) - half
+    fc = 1.0 / max_lm
+    h = fc * np.sinc(fc * m) * np.kaiser(taps, 5.0)
+    return h * (L / h.sum())
+
+
+@functools.lru_cache(maxsize=32)
+def _polyphase_matrix(L: int, M: int) -> tuple[np.ndarray, int]:
+    """(H (W, L) float64, lo): y[b*L + p] = dot(x[b*M+lo : b*M+lo+W], H[:, p]).
+
+    Derivation: with u the L-upsampled signal and half the filter center,
+    y[j] = sum_i h[i] u[j*M - i + half]; nonzero u terms need
+    i = t*L + rho_p with rho_p = (p*M + half) mod L (j = b*L + p), giving
+    x indices b*M + q_p - t, q_p = (p*M + half - rho_p) / L.  Each output
+    phase p is therefore a dot of K_p = ceil((taps - rho_p)/L) filter taps
+    with a contiguous input slice; stacking all L phases over their joint
+    index range [lo, lo+W) yields one dense matrix.
+    """
+    h = _kaiser_sinc(L, M)
+    taps = h.shape[0]
+    half = (taps - 1) // 2
+    p = np.arange(L)
+    rho = (p * M + half) % L
+    q = (p * M + half - rho) // L
+    K = -(-(taps - rho) // L)
+    lo = int((q - (K - 1)).min())
+    W = int(q.max()) - lo + 1
+    H = np.zeros((W, L), np.float64)
+    for pp in range(L):
+        t = np.arange(K[pp])
+        H[q[pp] - t - lo, pp] = h[t * L + rho[pp]]
+    return H, lo
+
+
+def _frame_geometry(n: int, L: int, M: int, W: int, lo: int):
+    """Shared jax/numpy bookkeeping: output/block counts and edge pads."""
+    n_out = -(-n * L // M)
+    nb = -(-n_out // L)                      # output blocks of L samples
+    pad_l = max(0, -lo)
+    start0 = lo + pad_l                      # first frame offset into xp
+    need = (nb - 1) * M + start0 + W         # past-the-end input index
+    return n_out, nb, pad_l, start0, need
+
+
+def resample_poly_numpy(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Float64 host twin (oracle + corpus-runner fallback).  1-D input."""
+    if sr_in == sr_out:
+        return np.asarray(x, np.float64).copy()
+    L, M = reduce_ratio(sr_in, sr_out)
+    H, lo = _polyphase_matrix(L, M)
+    W = H.shape[0]
+    n = x.shape[-1]
+    n_out, nb, pad_l, start0, need = _frame_geometry(n, L, M, W, lo)
+    if n_out == 0 or n == 0:
+        return np.zeros((0,), np.float64)
+    xp = np.pad(np.asarray(x, np.float64), (pad_l, max(0, need - n)))
+    idx = (np.arange(nb) * M + start0)[:, None] + np.arange(W)[None, :]
+    return (xp[idx] @ H).reshape(-1)[:n_out]
+
+
+def resample(x: jnp.ndarray, sr_in: int, sr_out: int, *,
+             precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """(..., n) float audio at sr_in -> (..., ceil(n*L/M)) at sr_out.
+
+    Jit-friendly: static shapes, one GEMM (frames built by the same
+    static-slice concat as the spectral stage — no gather).  Float32 at
+    HIGHEST matmul precision: measured ~1e-7 vs the float64 twin on
+    unit-range audio, far inside the 1e-4 feature contract.
+    """
+    if sr_in == sr_out:
+        return x
+    L, M = reduce_ratio(sr_in, sr_out)
+    H, lo = _polyphase_matrix(L, M)
+    W = H.shape[0]
+    n = x.shape[-1]
+    n_out, nb, pad_l, start0, need = _frame_geometry(n, L, M, W, lo)
+    if n_out == 0 or n == 0:
+        return jnp.zeros((*x.shape[:-1], 0), jnp.float32)
+    x = x.astype(jnp.float32)
+    pad = [(0, 0)] * (x.ndim - 1) + [(pad_l, max(0, need - n))]
+    xp = jnp.pad(x, pad)[..., start0:]
+    n_blocks = -(-W // M)
+    frames = _frames_by_concat(xp, M, nb, n_blocks)      # (..., nb, nbk*M)
+    Hp = np.zeros((n_blocks * M, L), np.float32)
+    Hp[:W] = H
+    y = jnp.matmul(frames, jnp.asarray(Hp), precision=precision)
+    return y.reshape(*x.shape[:-1], nb * L)[..., :n_out]
+
+
+resample_jit = jax.jit(resample, static_argnames=("sr_in", "sr_out",
+                                                  "precision"))

@@ -362,6 +362,133 @@ def power_spectrum_dit_concat(
 
 
 @functools.lru_cache(maxsize=32)
+def _dit4_matrices_cached(key):
+    """Two-stage Cooley-Tukey bases: per sample-residue stream (mod 4),
+    the window-folded quarter-length (n_fft/4-point) real-DFT basis packed
+    [cos | sin] (nb4 = n_fft/8 bins each) + the real Nyquist column
+    ((-1)^m), rows zero-padded to n_blocks*hop4 for the concat-frame GEMM;
+    plus the level-1 twiddles e^{-2*pi*i*j/(n_fft/2)} for j < n_fft/4."""
+    frame_len, n_fft, window, hop4 = key
+    N4 = n_fft // 4
+    nb4 = N4 // 2
+    from .. import oracle
+    w = oracle.window_fn(window, frame_len)
+    streams = []
+    for s in range(4):
+        ws = w[s::4]
+        m = np.arange(ws.shape[0], dtype=np.float64)[:, None]
+        j = np.arange(nb4, dtype=np.float64)[None, :]
+        ang = 2.0 * np.pi * m * j / N4
+        basis = np.concatenate(
+            [ws[:, None] * np.cos(ang), ws[:, None] * np.sin(ang)], axis=1)
+        last = (ws * np.cos(np.pi * m[:, 0]))[:, None]
+        L = basis.shape[0]
+        K = -(-L // hop4) * hop4
+        pad = ((0, K - L), (0, 0))
+        streams.append((np.pad(basis, pad), np.pad(last, pad)))
+    nb2 = (n_fft // 2) // 2
+    th = 2.0 * np.pi * np.arange(nb2, dtype=np.float64) / (n_fft // 2)
+    return tuple(streams), np.cos(th), np.sin(th)
+
+
+def dit4_eligible(cfg: FeatureConfig) -> bool:
+    """Delegates to FeatureConfig.dit4_eligible (single source of truth)."""
+    return cfg.dit4_eligible
+
+
+def _quarter_to_half(re, im, last):
+    """Extend a quarter-DFT's distinct bins to the N4-periodic lane range
+    a radix-2 level-1 combine needs: stored (sum x cos, sum x sin) GEMM
+    outputs for j < nb4 plus the real Nyquist bin -> (re, im) over
+    j = 0..2*nb4-1 using conjugate symmetry S[N4-j] = conj(S[j]) (in the
+    stored convention X = re - i*im, conj negates im)."""
+    re_hi = jnp.flip(re[..., 1:], axis=-1)          # lanes nb4+1..2*nb4-1
+    im_hi = -jnp.flip(im[..., 1:], axis=-1)
+    re_f = jnp.concatenate([re, last, re_hi], axis=-1)
+    im_f = jnp.concatenate([im, jnp.zeros_like(last), im_hi], axis=-1)
+    return re_f, im_f
+
+
+def power_spectrum_dit4_concat(
+    x: jnp.ndarray,
+    cfg: FeatureConfig,
+    *,
+    precision=None,
+):
+    """"dit4c": two-stage Cooley-Tukey (radix-4 DIT) GEMM DFT over
+    concat-materialized frames (VERDICT r1 item 10).
+
+    Decimate frame samples by residue mod 4; with S_s the window-folded
+    n_fft/4-point real DFT of stream s and W = e^{-2*pi*i/n_fft}:
+
+        E[j] = S_0[j] + W^{2j} S_2[j]      (n_fft/2-point DFT, even samples)
+        O[j] = S_1[j] + W^{2j} S_3[j]      (odd samples)
+        X[j] / X[n_fft/2 - j] via the radix-2 combine of E, O
+
+    so the MXU sees FOUR (T, ceil(L/4/hop4)*hop4) @ (K, n_fft/4) GEMMs:
+    3.3x fewer true MACs than the direct DFT (61k vs 205k per 25/10 ms
+    frame) at near-exact lane padding (K pads 120->128, N = n_fft/4 lanes
+    exact).  The price is two levels of elementwise twiddle combines plus
+    the conjugate-symmetry lane flips that extend each quarter DFT to
+    half-DFT range — relayouts that XLA materializes through HBM, which is
+    exactly what sank dit2/dit2c in the round-1 A/B (bench/ab_dft.json).
+    Measured on device before any default change (the reference repo's
+    lesson: behavior-level measurement is the oracle, /root/reference/
+    test/run.sh; a declared-but-unmeasured default is its ignored
+    `target` param all over again).
+    """
+    if not dit4_eligible(cfg):
+        raise ValueError(
+            "dit4c requires n_fft % 8 == 0 and hop_len % 4 == 0")
+    hop4 = cfg.hop_len // 4
+    T = cfg.num_frames(x.shape[-1])
+    acc = jnp.dtype(cfg.accum_dtype)
+    if T <= 0:
+        z = jnp.zeros((*x.shape[:-1], 0, cfg.n_bins - 1), acc)
+        return z, jnp.zeros((*x.shape[:-1], 0, 1), acc)
+    if precision is None:
+        precision = resolve_precision(cfg)
+    streams, c2, s2 = _dit4_matrices_cached(
+        (cfg.frame_len, cfg.n_fft, cfg.window, hop4))
+    dt = jnp.dtype(cfg.compute_dtype)
+    nb4 = (cfg.n_fft // 4) // 2
+
+    outs = []
+    for s in range(4):
+        basis, blast = streams[s]
+        d = x[..., s::4]
+        n_blocks = max(basis.shape[0] // hop4, 1)
+        frames = _frames_by_concat(d, hop4, T, n_blocks).astype(dt)
+        B = jnp.asarray(basis, dt)
+        BL = jnp.asarray(blast, dt)
+        main = jnp.matmul(frames, B, precision=precision).astype(acc)
+        last = jnp.matmul(frames, BL, precision=precision).astype(acc)
+        outs.append((main, last))
+
+    def full(main, last):
+        return _quarter_to_half(main[..., :nb4], main[..., nb4:], last)
+
+    a_re, a_im = full(*outs[0])
+    b_re, b_im = full(*outs[1])
+    c_re, c_im = full(*outs[2])
+    d_re, d_im = full(*outs[3])
+    cw = jnp.asarray(c2, acc)
+    sw = jnp.asarray(s2, acc)
+    # level-1 twiddle combine in the stored (sum cos, sum sin) convention:
+    # (c_re - i c_im)(cw - i sw) -> re' = cw*c_re - sw*c_im,
+    #                               im' = sw*c_re + cw*c_im
+    E = jnp.concatenate([a_re + cw * c_re - sw * c_im,
+                         a_im + sw * c_re + cw * c_im], axis=-1)
+    O = jnp.concatenate([b_re + cw * d_re - sw * d_im,
+                         b_im + sw * d_re + cw * d_im], axis=-1)
+    # E[n_fft/4] = S_0[0] - S_2[0] (W^{2*nb2} = -1; bin 0 of each quarter
+    # DFT is real = lane 0 of the cos half)
+    e_last = outs[0][0][..., 0:1] - outs[2][0][..., 0:1]
+    o_last = outs[1][0][..., 0:1] - outs[3][0][..., 0:1]
+    return _dit_combine(E, e_last, O, o_last, cfg)
+
+
+@functools.lru_cache(maxsize=32)
 def _dit_matrices_cached(key):
     """Radix-2 DIT bases: per sample-parity stream, the window-folded
     half-length (n_fft/2-point) real-DFT basis, packed [cos | sin] so one
@@ -486,13 +613,16 @@ def power_spectrum_split(
     - "directc" direct DFT over concat-materialized frames (one big GEMM)
     - "dit2"    radix-2 DIT hop-block chain (2x fewer true MACs)
     - "dit2c"   radix-2 DIT over concat frames (2x fewer MACs AND ~exact
-                MXU lane padding — measured fastest on v5e, bench/ab_dft)
+                MXU lane padding)
+    - "dit4c"   two-stage Cooley-Tukey over concat frames (3.3x fewer
+                true MACs; two twiddle levels)
     """
     algo = resolve_dft_algorithm(cfg)
     fn = {"direct": power_spectrum_blocked_split,
           "directc": power_spectrum_direct_concat,
           "dit2": power_spectrum_dit_split,
-          "dit2c": power_spectrum_dit_concat}[algo]
+          "dit2c": power_spectrum_dit_concat,
+          "dit4c": power_spectrum_dit4_concat}[algo]
     return fn(x, cfg, precision=precision)
 
 

@@ -131,6 +131,12 @@ class RunnerOptions:
     backend: str = "auto"
     out_format: str = "npy"           # "npy" | "ark" (Kaldi archive)
     ladder: list = field(default_factory=list)
+    # Convert foreign-rate WAVs to cfg.sample_rate on the host (polyphase
+    # Kaiser sinc, ops/resample.py) instead of quarantining them.  Off by
+    # default: silent rate conversion changes features, so it is an
+    # explicit ingestion policy, not part of the numerical contract
+    # (FeatureConfig stays rate-pure and its hash doesn't churn).
+    resample: bool = False
 
 
 def collect_wavs(path: str) -> list[str]:
@@ -147,8 +153,12 @@ def collect_wavs(path: str) -> list[str]:
     return [path]
 
 
-def _probe(paths, cfg, on_bad=None):
-    """Header-only probe: yield (path, n_samples); quarantine bad files."""
+def _probe(paths, cfg, on_bad=None, resample=False):
+    """Header-only probe: yield (path, n_samples at cfg.sample_rate);
+    quarantine corrupt files, and foreign-rate files too unless the
+    resample ingestion policy is on (then bucket by the post-conversion
+    length)."""
+    from .ops import resample as resample_op
     for p in paths:
         try:
             n, sr = wav.wav_info(p)
@@ -158,22 +168,40 @@ def _probe(paths, cfg, on_bad=None):
                 on_bad(p)
             continue
         if sr != cfg.sample_rate:
-            print(f"[quarantine] {p}: sample rate {sr} != {cfg.sample_rate}")
+            if resample:
+                yield p, resample_op.resampled_length(n, sr, cfg.sample_rate)
+                continue
+            print(f"[quarantine] {p}: sample rate {sr} != {cfg.sample_rate} "
+                  "(pass --resample to convert instead)")
             if on_bad:
                 on_bad(p)
             continue
         yield p, n
 
 
-def _decode_batch(pb, cfg):
+def _resample_row(p, cfg, bucket):
+    """Decode + host-resample one foreign-rate file -> (f32 row, length).
+
+    Float64 polyphase (ops/resample.resample_poly_numpy) then f32, the
+    exact input convention the run report's oracle self-check reproduces.
+    """
+    from .ops import resample as resample_op
+    x, sr = wav.read_wav(p)
+    y = resample_op.resample_poly_numpy(x, sr, cfg.sample_rate)
+    y = y.astype(np.float32)[:bucket]
+    return y, len(y)
+
+
+def _decode_batch(pb, cfg, resample=False):
     """Decode a PathBatch to (audio (B, bucket) i16-or-f32, lengths i32).
 
     Fast path: PCM16 passthrough (raw int16, half the host->device bytes;
     the pipeline casts on-device).  If any file is not mono PCM16 the
     whole batch falls back to the float decoder so dtypes stay uniform.
     Rows that fail late (corrupt despite a sane header) are quarantined
-    by zeroing their length.  Pure-Python fallback mirrors the semantics
-    when the native library is unavailable.
+    by zeroing their length; foreign-rate rows are host-resampled when
+    the resample policy is on (forcing the batch to float).  Pure-Python
+    fallback mirrors the semantics when the native library is unavailable.
     """
     B = len(pb.paths)
     real = [p for p in pb.paths if p is not None]   # Nones pad the tail
@@ -182,12 +210,25 @@ def _decode_batch(pb, cfg):
         a, lens, rates, errors = read_wavs_padded_i16(real, pb.bucket)
         if np.any(errors == -6):  # non-PCM16 content: float path
             a, lens, rates, errors = read_wavs_padded(real, pb.bucket)
+        if resample and np.any((errors == 0) & (rates != cfg.sample_rate)) \
+                and a.dtype == np.int16:
+            a = a.astype(np.float32) * (1.0 / 32768.0)
         for i, p in enumerate(real):
             if errors[i] != 0:
                 print(f"[quarantine] {p}: native decode error {errors[i]}")
                 lens[i] = 0
             elif rates[i] != cfg.sample_rate:
-                print(f"[quarantine] {p}: sample rate {rates[i]}")
+                if resample:
+                    try:
+                        row, L = _resample_row(p, cfg, pb.bucket)
+                        a[i] = 0
+                        a[i, :L] = row
+                        lens[i] = L
+                        continue
+                    except (OSError, ValueError) as e:
+                        print(f"[quarantine] {p}: resample failed: {e}")
+                else:
+                    print(f"[quarantine] {p}: sample rate {rates[i]}")
                 lens[i] = 0
                 a[i] = 0
     except ImportError:
@@ -197,7 +238,9 @@ def _decode_batch(pb, cfg):
             try:
                 x, sr = wav.read_wav(p)
                 if sr != cfg.sample_rate:
-                    raise wav.WavError(f"sample rate {sr}")
+                    if not resample:
+                        raise wav.WavError(f"sample rate {sr}")
+                    x, L = _resample_row(p, cfg, pb.bucket)
                 L = min(len(x), pb.bucket)
                 a[i, :L] = x[:L]
                 lens[i] = L
@@ -345,6 +388,12 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
                 x, _sr = wav.read_wav(p)
             except (OSError, ValueError):
                 continue
+            if _sr != cfg.sample_rate:
+                # reproduce the ingestion resample exactly (f64 twin,
+                # cast f32) so the oracle sees the pipeline's true input
+                from .ops import resample as resample_op
+                x = resample_op.resample_poly_numpy(
+                    x, _sr, cfg.sample_rate).astype(np.float32)
             ref_fn = oracle.log_mel if opts.logmel else oracle.mfcc
             want = ref_fn(x[: lengths[i]].astype(np.float64), cfg)
             got = feat_np[i, : flens_np[i]]
@@ -388,9 +437,10 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
     on_bad = man.mark_quarantined if man is not None else None
     with report.maybe_profile(opts.trace_dir):  # while N's results drain
         for pb in batch_lib.make_path_batches(
-                _probe(paths, cfg, on_bad), batch_size, ladder):
+                _probe(paths, cfg, on_bad, opts.resample),
+                batch_size, ladder):
             with report.stage_timer(rep, "decode"):
-                audio, lengths = _decode_batch(pb, cfg)
+                audio, lengths = _decode_batch(pb, cfg, opts.resample)
                 rep.n_utterances += int((lengths > 0).sum())
                 rep.audio_seconds += float(lengths.sum()) / cfg.sample_rate
             with report.stage_timer(rep, "dispatch"):

@@ -42,13 +42,26 @@ def test_forced_dit2_on_ineligible_config_raises():
     with pytest.raises(ValueError):
         FeatureConfig(hop_ms=10.0625, dft_algorithm="dit2").validate()
     with pytest.raises(ValueError):
+        FeatureConfig(hop_ms=10.0625, dft_algorithm="dit2c").validate()
+    with pytest.raises(ValueError):
         FeatureConfig(dft_algorithm="nope").validate()
+
+
+def test_forced_dit4c_on_ineligible_config_raises():
+    # hop 162: even (dit2-eligible) but not divisible by 4
+    cfg2 = FeatureConfig(hop_ms=10.125)
+    assert cfg2.dit2_eligible and not cfg2.dit4_eligible
+    with pytest.raises(ValueError):
+        cfg2.replace(dft_algorithm="dit4c").validate()
+    with pytest.raises(ValueError):  # n_fft % 8 != 0
+        FeatureConfig(n_fft=516, dft_algorithm="dit4c").validate()
 
 
 @pytest.mark.parametrize("other", [
     spectrum.power_spectrum_dit_split,
     spectrum.power_spectrum_dit_concat,
     spectrum.power_spectrum_direct_concat,
+    spectrum.power_spectrum_dit4_concat,
 ])
 def test_spectrum_parity_vs_direct(rng, other):
     """Raw power spectra agree to f32 roundoff (relative to peak)."""
@@ -62,7 +75,7 @@ def test_spectrum_parity_vs_direct(rng, other):
     assert np.abs(np.asarray(hi_d) - np.asarray(hi_t)).max() < 3e-6 * peak
 
 
-@pytest.mark.parametrize("algo", ["dit2", "dit2c", "directc"])
+@pytest.mark.parametrize("algo", ["dit2", "dit2c", "directc", "dit4c"])
 @pytest.mark.parametrize("variant", [
     dict(),
     dict(window="povey"),
@@ -83,7 +96,8 @@ def test_dit_end_to_end_vs_oracle(rng, algo, variant):
     np.testing.assert_allclose(got, want, atol=ATOL)
 
 
-@pytest.mark.parametrize("algo", ["direct", "directc", "dit2", "dit2c"])
+@pytest.mark.parametrize("algo", ["direct", "directc", "dit2", "dit2c",
+                                  "dit4c"])
 @pytest.mark.parametrize("n", [560, 639, 641, 799, 15999, 8081])
 def test_awkward_lengths_vs_oracle(rng, algo, n):
     """Lengths whose tail hop block is partial (regression: truncated

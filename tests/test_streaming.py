@@ -37,6 +37,7 @@ def test_streaming_matches_batch(speechlike):
     ("directc", 1e-5),
     ("dit2", 3e-5),     # different summation order; measured ~1.2e-5 worst
     ("dit2c", 3e-5),    # case on unit-variance noise (ADVICE r1), bound 3e-5
+    ("dit4c", 3e-5),    # two twiddle levels; same f32 error class as dit2
 ])
 def test_streaming_matches_batch_per_algorithm(speechlike, algo, tol):
     """Streaming always runs the direct frames path; the batch side may be
