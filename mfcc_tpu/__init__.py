@@ -17,6 +17,6 @@ Quick start::
 """
 
 from .config import FeatureConfig, MFCC13, LOGMEL80, logmel_config  # noqa: F401
-from . import oracle, ops, models  # noqa: F401
+from . import oracle, ops, models, dataset  # noqa: F401
 
 __version__ = "0.1.0"

@@ -9,7 +9,10 @@ pipeline, ``/root/reference/src/mfcc/main.c:72-107``):
 - :mod:`mel` / :mod:`dct` — spectra -> log-mel -> cepstra projections (the
   "code generator")
 - :mod:`deltas`   — time-derivative appends
+- :mod:`resample` — rational sample-rate conversion as one polyphase GEMM
+- :mod:`augment`  — SpecAugment time/frequency masking (training-time)
 - :mod:`kernels`  — hand-written Pallas/Mosaic TPU kernels for the hot path
 """
 
 from . import framing, spectrum, mel, dct, deltas  # noqa: F401
+from . import resample, augment  # noqa: F401
