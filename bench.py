@@ -2,19 +2,32 @@
 
 Measures the flagship pipeline (batched ragged MFCC-13, 16 kHz,
 25 ms / 10 ms) on whatever accelerator JAX finds (TPU v5e under the
-driver), with inputs resident in device memory — the serving-path
-convention: ingestion is pipelined/overlapped in the corpus runner, and
-the chip-side pipeline is what the north-star metric targets.
+driver), with inputs resident in device memory.
+
+Protocol (round-2 revision): the per-dispatch loop used in round 1 is
+FLOORED at the relay's ~2-3 ms host dispatch round-trip in this
+environment — a trivial prep-only program measured the same "throughput"
+as the full pipeline (bench/kernel_probe.py), so per-dispatch numbers say
+nothing about the chip.  The headline number therefore runs K pipeline
+iterations inside ONE dispatch via lax.scan, with a scalar carry folded
+into the next iteration's input so XLA cannot hoist the loop body
+(each iteration adds one elementwise pass over the audio — reported
+separately, typically a few % overhead).  Completion is a host fetch of
+the scalar carry: it depends on every iteration, and the relay's
+block_until_ready alone has been observed to return early.
 
 Metric: audio-seconds of input processed per wall-second per chip.
 Baseline (BASELINE.md): 10,000 audio-sec/s/chip -> vs_baseline = value/1e4.
-Also reports max abs feature error vs the float64 oracle as a gate.
+Also reports max abs feature error vs the float64 oracle as a gate, and
+the per-dispatch number (production serving includes a dispatch per
+batch; on a local TPU VM that overhead is tens of microseconds).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import time
 
 import numpy as np
@@ -25,13 +38,20 @@ def main():
     ap.add_argument("--batch", type=int, default=64, help="utterances/batch")
     ap.add_argument("--seconds", type=float, default=10.0,
                     help="audio seconds per utterance")
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--scan", type=int, default=20,
+                    help="pipeline iterations per dispatch (lax.scan)")
+    ap.add_argument("--iters", type=int, default=5,
+                    help="dispatches per timed repeat")
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="timed repeats (median reported)")
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes for CPU smoke runs")
     ap.add_argument("--algo", default="auto",
                     choices=("auto", "direct", "directc", "dit2", "dit2c",
                              "dit4c"),
                     help="DFT factorization (cfg.dft_algorithm)")
+    ap.add_argument("--backend", default="auto",
+                    choices=("auto", "xla", "pallas"))
     args = ap.parse_args()
 
     import jax
@@ -46,7 +66,8 @@ def main():
     from mfcc_tpu.models import mfcc as mfcc_model
 
     if args.small:
-        args.batch, args.seconds, args.iters = 4, 2.0, 3
+        args.batch, args.seconds = 4, 2.0
+        args.scan, args.iters, args.repeats = 2, 2, 2
 
     cfg = FeatureConfig(dft_algorithm=args.algo)
     sr = cfg.sample_rate
@@ -64,35 +85,70 @@ def main():
     audio_d = jax.device_put(jnp.asarray(audio), dev)
     lengths_d = jax.device_put(jnp.asarray(lengths), dev)
 
-    # accuracy gate on one utterance (same compiled graph shapes not needed)
-    feat_b, flens, _ = mfcc_model.mfcc_batch_jit(audio_d, lengths_d, cfg)
+    # accuracy gate on one utterance
+    feat_b, flens, _ = mfcc_model.mfcc_batch_jit(
+        audio_d, lengths_d, cfg, args.backend)
     got = np.asarray(feat_b[0])
     want = oracle.mfcc(audio[0].astype(np.float64), cfg)
     max_err = float(np.abs(got[: want.shape[0]] - want).max())
 
-    # warmup already compiled above; timed loop
-    jax.block_until_ready(feat_b)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        feat_b, flens, mask = mfcc_model.mfcc_batch_jit(
-            audio_d, lengths_d, cfg)
-    jax.block_until_ready(feat_b)
-    dt = time.perf_counter() - t0
+    # ---- headline: K iterations per dispatch, serialized by a carry ----
+    from functools import partial
 
-    audio_sec = args.batch * args.seconds * args.iters
-    aps = audio_sec / dt
-    n_chips = 1  # single-device bench; scaling measured separately
-    value = aps / n_chips
+    @partial(jax.jit, static_argnames=("c_", "b_"))
+    def scan_fn(a, l, c_=cfg, b_=args.backend):
+        def body(carry, _):
+            f, fl, m = mfcc_model.mfcc_batch(a + carry, l, c_, b_)
+            return (f[0, 0, 0] * jnp.float32(1e-30)).astype(a.dtype), None
+        out, _ = jax.lax.scan(body, jnp.zeros((), a.dtype), None,
+                              length=args.scan)
+        return out
+
+    t0 = time.perf_counter()
+    np.asarray(scan_fn(audio_d, lengths_d))   # compile + warm the d2h path
+    compile_s = time.perf_counter() - t0
+
+    def timed(fn, per_call_audio_sec, iters):
+        reps = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = fn()
+            np.asarray(out)                   # force completion
+            reps.append(per_call_audio_sec * iters
+                        / (time.perf_counter() - t0))
+        return reps
+
+    batch_audio_sec = args.batch * args.seconds
+    scan_reps = timed(lambda: scan_fn(audio_d, lengths_d),
+                      batch_audio_sec * args.scan, args.iters)
+
+    # ---- secondary: per-dispatch (includes host round-trip) ----
+    def one():
+        f, fl, m = mfcc_model.mfcc_batch_jit(audio_d, lengths_d, cfg,
+                                             args.backend)
+        return f[0, 0, 0]
+
+    disp_reps = timed(one, batch_audio_sec, max(args.iters * args.scan, 20))
+
+    value = statistics.median(scan_reps)
     print(json.dumps({
         "metric": "audio_seconds_per_s_per_chip",
         "value": round(value, 1),
         "unit": "audio-sec/s/chip",
         "vs_baseline": round(value / 10_000.0, 3),
         "max_abs_error_vs_oracle": max_err,
-        "batch": args.batch,
-        "utt_seconds": args.seconds,
-        "iters": args.iters,
-        "wall_s": round(dt, 4),
+        "protocol": {"scan": args.scan, "iters": args.iters,
+                     "repeats": args.repeats, "batch": args.batch,
+                     "utt_seconds": args.seconds,
+                     "note": ("on-device scan serialized by a scalar carry;"
+                              " completion via host fetch")},
+        "scan_reps": [round(r, 1) for r in scan_reps],
+        "per_dispatch_median": round(statistics.median(disp_reps), 1),
+        "per_dispatch_reps": [round(r, 1) for r in disp_reps],
+        "backend": args.backend, "algo": args.algo,
+        "compile_or_cache_load_s": round(compile_s, 2),
         "device": str(dev),
     }))
 

@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--algos", nargs="+", default=["direct", "dit2"])
+    # The DFT-algorithm knob only affects the XLA spectral stage; under
+    # backend=auto the TPU routes to the fused Pallas kernel, which would
+    # measure the SAME program for every algo.  Force xla by default.
+    ap.add_argument("--backend", default="xla",
+                    choices=("auto", "xla", "pallas"))
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "ab_dft.json"))
     args = ap.parse_args()
@@ -59,7 +64,8 @@ def main():
     for algo in args.algos:
         cfg = FeatureConfig(dft_algorithm=algo).validate()
         t_c0 = time.perf_counter()
-        feat, flens, mask = mfcc_model.mfcc_batch_jit(audio_d, lengths_d, cfg)
+        feat, flens, mask = mfcc_model.mfcc_batch_jit(
+            audio_d, lengths_d, cfg, args.backend)
         jax.block_until_ready(feat)
         compile_s = time.perf_counter() - t_c0
         got = np.asarray(feat[0])
@@ -71,10 +77,14 @@ def main():
             t0 = time.perf_counter()
             for _ in range(args.iters):
                 feat, flens, mask = mfcc_model.mfcc_batch_jit(
-                    audio_d, lengths_d, cfg)
-            jax.block_until_ready(feat)
+                    audio_d, lengths_d, cfg, args.backend)
+            # force completion with a host fetch: through the axon relay
+            # block_until_ready alone has been observed to return before
+            # queued work drains for some programs (bench/kernel_probe r2)
+            np.asarray(feat[0, 0, 0])
             reps.append(audio_sec / (time.perf_counter() - t0))
         results[algo] = {
+            "backend": args.backend,
             "audio_sec_per_s": [round(r, 1) for r in reps],
             "median": round(statistics.median(reps), 1),
             "max": round(max(reps), 1),

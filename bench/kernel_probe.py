@@ -33,7 +33,9 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--scan", type=int, default=20,
+                    help="kernel invocations per dispatch (lax.scan)")
+    ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--seconds", type=float, default=10.0)
@@ -59,7 +61,7 @@ def main():
     audio = (0.1 * rng.standard_normal((args.batch, n))).astype(np.float32)
     dev = jax.devices()[0]
     x_d = jax.device_put(jnp.asarray(audio), dev)
-    audio_sec = args.batch * args.seconds * args.iters
+    interp = jax.default_backend() != "tpu"   # CPU smoke: interpret mode
 
     orig_log = fused_dit._acc_log
     orig_concat = fused_dit._concat_rolled
@@ -111,23 +113,40 @@ def main():
 
         def f(x):
             y = framing.preemphasize(x, cfg)
-            return fused_dit.fused_features_dit(y, cfg, tile_t=tile_t)
+            return fused_dit.fused_features_dit(y, cfg, tile_t=tile_t,
+                                                interpret=interp)
 
         return jax.jit(f)
 
+    def scanned(fn):
+        """args.scan invocations per dispatch, serialized by a scalar
+        carry so XLA cannot hoist the loop body (bench.py protocol: the
+        relay's ~2-3 ms dispatch round-trip otherwise floors everything)."""
+        def body(carry, _):
+            out = fn(x_d + carry)
+            leaf = out[0] if isinstance(out, tuple) else out
+            return (leaf.ravel()[0] * jnp.float32(1e-30)).astype(x_d.dtype), None
+
+        def g():
+            c, _ = jax.lax.scan(body, jnp.zeros((), x_d.dtype), None,
+                                length=args.scan)
+            return c
+        return jax.jit(g)
+
+    audio_sec = args.batch * args.seconds * args.scan * args.iters
     results = {}
     for variant in args.variants:
-        fn = make_fn(variant)
+        fn = scanned(make_fn(variant))
         t0 = time.perf_counter()
-        out = fn(x_d)
-        jax.block_until_ready(out)
+        np.asarray(fn())          # compile + warm the d2h path
         compile_s = time.perf_counter() - t0
         reps = []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
+            out = None
             for _ in range(args.iters):
-                out = fn(x_d)
-            jax.block_until_ready(out)
+                out = fn()
+            np.asarray(out)       # force completion (relay-safe)
             reps.append(audio_sec / (time.perf_counter() - t0))
         results[variant] = {
             "audio_sec_per_s_median": round(statistics.median(reps), 1),

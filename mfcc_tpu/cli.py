@@ -66,10 +66,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="two-pass global mean/variance normalization")
     f.add_argument("--logmel", action="store_true",
                    help="log-mel filterbank output (skip DCT)")
+    f.add_argument("--plp", action="store_true",
+                   help="PLP cepstra (bark critical bands + LPC model)")
+    f.add_argument("--n-bark", type=int, default=21,
+                   help="PLP critical-band filter count")
+    f.add_argument("--lpc-order", type=int, default=12,
+                   help="PLP all-pole model order")
     return p
 
 
 def config_from_args(a) -> FeatureConfig:
+    if a.logmel and a.plp:
+        raise SystemExit("--logmel and --plp are mutually exclusive")
     n_mels = a.n_mels
     n_mfcc = n_mels if a.logmel else a.n_mfcc
     return FeatureConfig(
@@ -79,6 +87,7 @@ def config_from_args(a) -> FeatureConfig:
         mel_scale=a.mel_scale, lifter=a.lifter,
         dither=a.dither, dither_seed=a.dither_seed,
         dft_algorithm=a.dft_algorithm,
+        n_bark=a.n_bark, lpc_order=a.lpc_order,
         append_energy=a.append_energy, deltas=a.deltas, cmvn=a.cmvn,
     ).validate()
 
@@ -87,7 +96,7 @@ def main(argv=None) -> int:
     a = build_parser().parse_args(argv)
     cfg = config_from_args(a)
     opts = RunnerOptions(
-        out_dir=a.out, batch_size=a.batch_size, logmel=a.logmel,
+        out_dir=a.out, batch_size=a.batch_size, logmel=a.logmel, plp=a.plp,
         resume=not a.no_resume, trace_dir=a.trace_dir, backend=a.backend,
         out_format=a.format, resample=a.resample)
     rep = run(a.input, cfg, opts)

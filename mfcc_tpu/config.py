@@ -65,6 +65,12 @@ class FeatureConfig:
     dynamic_range_db: Optional[float] = None
     lifter: int = 0                # 0 disables cepstral liftering
     append_energy: bool = False    # replace c0 with log frame energy
+    # --- PLP (models/plp.py; ignored by the MFCC/log-mel pipelines) ------
+    n_bark: int = 21               # critical-band filters (Hermansky bark)
+    lpc_order: int = 12            # all-pole model order
+    # NOTE: adding these fields changed config_hash for ALL configs at
+    # round 2 (documented in docs/conventions.md — the hash names the
+    # full numerical contract, so growing the contract renames it).
     # --- post ------------------------------------------------------------
     deltas: bool = False           # append delta + delta-delta
     delta_window: int = 2
@@ -176,6 +182,12 @@ class FeatureConfig:
             raise ValueError("dither must be >= 0")
         if self.fmax is not None and self.fmax <= self.fmin:
             raise ValueError("fmax must be > fmin")
+        if self.n_bark < 2:
+            raise ValueError("n_bark must be >= 2")
+        if not (1 <= self.lpc_order < self.n_bark + 2):
+            raise ValueError(
+                "lpc_order must be in [1, n_bark + 1] (the autocorrelation "
+                "IDFT provides n_bark + 2 spectral samples)")
         if self.dft_algorithm not in DFT_ALGORITHMS:
             raise ValueError(
                 f"dft_algorithm must be one of {DFT_ALGORITHMS}, "

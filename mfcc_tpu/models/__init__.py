@@ -2,8 +2,10 @@
 
 - :mod:`mfcc`      — flagship MFCC-13 pipeline (single + batched/ragged)
 - :mod:`logmel`    — log-mel-80 variant (DCT skipped) with delta appends
+- :mod:`spectrogram` — linear power/log spectrogram variant
+- :mod:`plp`       — perceptual linear prediction (bark + LPC cepstra)
 - :mod:`streaming` — chunked low-latency STFT with overlap carry state
 - :mod:`trainable` — learnable filterbank front-end (training-step demo)
 """
 
-from . import mfcc, logmel, spectrogram, streaming, trainable  # noqa: F401
+from . import mfcc, logmel, spectrogram, plp, streaming, trainable  # noqa: F401

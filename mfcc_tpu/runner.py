@@ -124,6 +124,7 @@ class RunnerOptions:
     out_dir: str = "features"
     batch_size: int = 16
     logmel: bool = False              # log-mel pipeline instead of MFCC
+    plp: bool = False                 # PLP pipeline instead of MFCC
     min_bucket: int = 16_000          # 1 s
     max_bucket: int = 16_000 * 30     # 30 s
     resume: bool = True
@@ -254,8 +255,12 @@ def _decode_batch(pb, cfg, resample=False):
 
 
 def _feature_fn(opts):
-    return (logmel_model.log_mel_batch_jit if opts.logmel
-            else mfcc_model.mfcc_batch_jit)
+    if opts.logmel:
+        return logmel_model.log_mel_batch_jit
+    if opts.plp:
+        from .models import plp as plp_model
+        return plp_model.plp_batch_jit
+    return mfcc_model.mfcc_batch_jit
 
 
 def _out_path(out_dir: str, wav_path: str) -> str:
@@ -394,7 +399,8 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
                 from .ops import resample as resample_op
                 x = resample_op.resample_poly_numpy(
                     x, _sr, cfg.sample_rate).astype(np.float32)
-            ref_fn = oracle.log_mel if opts.logmel else oracle.mfcc
+            ref_fn = (oracle.log_mel if opts.logmel
+                      else oracle.plp if opts.plp else oracle.mfcc)
             want = ref_fn(x[: lengths[i]].astype(np.float64), cfg)
             got = feat_np[i, : flens_np[i]]
             if cfg.cmvn:
