@@ -1,12 +1,21 @@
 """On-device A/B of execution backends (VERDICT r1 item 1).
 
 Runs the flagship batched MFCC-13 pipeline with each backend
-back-to-back in one process, many repeats, medians — same protocol as
-ab_dft.py.  "pallas" resolves to the fused DIT kernel (kernels/fused_dit)
-for the default config; "pallas-direct" forces the v1 direct kernel for
-comparison.  Results decide backend.resolve("auto").
+back-to-back in one process, many repeats, medians.  Protocol is the
+bench.py scan protocol (r2): K pipeline iterations inside ONE dispatch
+via ``lax.scan`` serialized by a scalar carry, completion forced by a
+host fetch — the old per-dispatch loop was floored at the relay's
+~2-3 ms dispatch round-trip and measured nothing about the chip.
 
-Usage:  python bench/ab_backend.py [--iters 100] [--repeats 7]
+Modes:
+- ``xla``           hop-block GEMM jnp pipeline (mfcc_batch backend=xla)
+- ``pallas``        fused DIT kernel + its XLA-side prep (kernels/fused_dit)
+- ``pallas-direct`` v1 direct hop-block kernel + prep (kernels/fused_mfcc)
+- ``pallas-raw``    v3 raw-audio kernel, zero XLA prep (kernels/fused_raw)
+
+Results decide backend.resolve("auto").
+
+Usage:  python bench/ab_backend.py [--scan 20] [--iters 5] [--repeats 7]
 """
 
 from __future__ import annotations
@@ -22,13 +31,17 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--scan", type=int, default=20,
+                    help="pipeline iterations per dispatch (lax.scan)")
+    ap.add_argument("--iters", type=int, default=5,
+                    help="dispatches per timed repeat")
     ap.add_argument("--repeats", type=int, default=7)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--modes", nargs="+",
-                    default=["xla", "pallas", "pallas-direct"])
-    ap.add_argument("--tile", type=int, default=128)
+                    default=["xla", "pallas", "pallas-raw"])
+    ap.add_argument("--tile", type=int, default=None,
+                    help="kernel tile_t override (default: adaptive)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "ab_backend.json"))
     args = ap.parse_args()
@@ -43,7 +56,7 @@ def main():
     from mfcc_tpu import FeatureConfig, oracle
     from mfcc_tpu.models import mfcc as mfcc_model
     from mfcc_tpu.ops import framing
-    from mfcc_tpu.ops.kernels import fused_dit, fused_mfcc
+    from mfcc_tpu.ops.kernels import fused_dit, fused_mfcc, fused_raw
 
     cfg = FeatureConfig().validate()
     sr = cfg.sample_rate
@@ -59,42 +72,63 @@ def main():
     dev = jax.devices()[0]
     audio_d = jax.device_put(jnp.asarray(audio), dev)
     lengths_d = jax.device_put(jnp.asarray(lengths), dev)
-    audio_sec = args.batch * args.seconds * args.iters
+    interp = jax.default_backend() != "tpu"
 
-    @partial(jax.jit, static_argnames=("kern", "tile"))
-    def kernel_only(x, kern, tile):
-        y = framing.preemphasize(x, cfg)
-        if kern == "dit":
-            return fused_dit.fused_features_dit(y, cfg, tile_t=tile)
-        return fused_mfcc.fused_features(y, cfg, tile_t=tile)
-
-    def run_mode(mode):
+    def pipeline(mode):
+        """One full-pipeline invocation as a jittable x -> features fn."""
         if mode == "xla":
-            def fn():
-                f, _, _ = mfcc_model.mfcc_batch_jit(audio_d, lengths_d, cfg,
-                                                    "xla")
+            def fn(x):
+                f, _, _ = mfcc_model.mfcc_batch(x, lengths_d, cfg, "xla")
                 return f
         elif mode == "pallas":
-            def fn():
-                return kernel_only(audio_d, "dit", args.tile)
+            def fn(x):
+                y = framing.preemphasize(x, cfg)
+                return fused_dit.fused_features_dit(y, cfg, tile_t=args.tile,
+                                                    interpret=interp)
         elif mode == "pallas-direct":
-            def fn():
-                return kernel_only(audio_d, "direct", args.tile)
+            def fn(x):
+                y = framing.preemphasize(x, cfg)
+                return fused_mfcc.fused_features(
+                    y, cfg, tile_t=args.tile or 128, interpret=interp)
+        elif mode == "pallas-raw":
+            def fn(x):
+                return fused_raw.fused_features_raw(x, cfg, tile_t=args.tile,
+                                                    interpret=interp)
         else:
             raise ValueError(mode)
+        return fn
+
+    def scanned(fn):
+        def g():
+            def body(carry, _):
+                out = fn(audio_d + carry)
+                return (out.ravel()[0] * jnp.float32(1e-30)).astype(
+                    audio_d.dtype), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), audio_d.dtype), None,
+                                length=args.scan)
+            return c
+        return jax.jit(g)
+
+    audio_sec = args.batch * args.seconds * args.scan * args.iters
+    want = oracle.mfcc(audio[0].astype(np.float64), cfg)
+
+    def run_mode(mode):
+        fn = pipeline(mode)
+        # accuracy gate (single dispatch)
+        got = np.asarray(jax.jit(fn)(audio_d)[0])
+        max_err = float(np.abs(got[: want.shape[0], : want.shape[1]]
+                               - want).max())
+        g = scanned(fn)
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
+        np.asarray(g())            # compile + warm the d2h path
         compile_s = time.perf_counter() - t0
-        got = np.asarray(out[0])
-        want = oracle.mfcc(audio[0].astype(np.float64), cfg)
-        max_err = float(np.abs(got[: want.shape[0]] - want).max())
         reps = []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
+            out = None
             for _ in range(args.iters):
-                out = fn()
-            jax.block_until_ready(out)
+                out = g()
+            np.asarray(out)        # force completion (relay-safe)
             reps.append(audio_sec / (time.perf_counter() - t0))
         return {
             "audio_sec_per_s": [round(r, 1) for r in reps],
@@ -113,8 +147,9 @@ def main():
     winner = max(medians, key=medians.get)
     with open(args.out, "w") as f:
         json.dump({"device": str(dev), "batch": args.batch,
-                   "utt_seconds": args.seconds, "iters": args.iters,
-                   "repeats": args.repeats, "tile_t": args.tile,
+                   "utt_seconds": args.seconds, "scan": args.scan,
+                   "iters": args.iters, "repeats": args.repeats,
+                   "tile_t": args.tile, "protocol": "scan-carry-v2",
                    "results": results, "winner_by_median": winner}, f,
                   indent=1)
     print(json.dumps({"winner_by_median": winner, "medians": medians}))

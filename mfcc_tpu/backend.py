@@ -5,13 +5,15 @@ The reference declares a multi-target enum and implements one target
 X86_64 functional).  This framework keeps the same "declared targets, one
 golden path per device" shape but makes every entry real:
 
-- ``pallas``  — fused Pallas/Mosaic kernel (primary on TPU): the radix-2
-                DIT kernel (kernels/fused_dit) when the config is
-                eligible, else the direct hop-block kernel (fused_mfcc)
+- ``pallas``  — fused Pallas/Mosaic kernel (primary on TPU): the
+                zero-prep raw-audio kernel (kernels/fused_raw) when the
+                config is eligible, else the radix-2 DIT kernel
+                (kernels/fused_dit), else the direct hop-block kernel
+                (fused_mfcc)
 - ``xla``     — hop-block GEMM jnp pipeline (runs everywhere; the
                 reference path that everything is tested against)
-- ``auto``    — the measured winner: pallas on TPU when the DIT kernel
-                is eligible, xla otherwise
+- ``auto``    — the measured winner: pallas on TPU when the raw or DIT
+                kernel is eligible, xla otherwise
 
 Selection is a static jit argument, so each backend compiles its own
 specialized program.
@@ -28,15 +30,17 @@ def resolve(name: str = "auto", cfg=None) -> str:
     if name not in BACKENDS:
         raise ValueError(f"backend must be one of {BACKENDS}, got {name!r}")
     if name == "auto":
-        # On-device A/B, v5e medians of 7x100 iters (bench/ab_backend.json):
-        # pallas DIT kernel 314.0k, XLA hop-block 289.1k, pallas direct
-        # kernel 175.1k audio-sec/s/chip — all at <= 3.2e-6 vs the oracle.
-        # auto -> the DIT kernel exactly where it exists and wins; the
-        # direct kernel LOSES to XLA, so ineligible configs (odd hop,
-        # n_fft % 4 != 0) stay on the XLA path.
+        # On-device A/B, v5e medians, scan protocol (bench/ab_backend.json
+        # r2): raw kernel 351.4k, DIT kernel 313.0k, XLA hop-block 259.0k
+        # audio-sec/s/chip — all at <= 2.9e-6 vs the oracle.  auto -> the
+        # raw kernel where eligible (zero XLA prep; preemph in-kernel),
+        # else the DIT kernel; the v1 direct kernel LOSES to XLA, so
+        # configs neither can take (odd hop, n_fft % 4 != 0, lane-phase
+        # period > 8) stay on the XLA path.
         if jax.default_backend() == "tpu" and cfg is not None:
-            from .ops.kernels import fused_dit
-            if fused_dit.dit_kernel_eligible(cfg):
+            from .ops.kernels import fused_dit, fused_raw
+            if (fused_raw.raw_kernel_eligible(cfg)
+                    or fused_dit.dit_kernel_eligible(cfg)):
                 return "pallas"
         return "xla"
     return name

@@ -49,25 +49,35 @@ def _features_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
 
     backend "xla": hop-block GEMM decomposition, no frame materialization
     (spectrum.power_spectrum_blocked).  backend "pallas": single fused
-    kernel (ops/kernels/fused_mfcc), interpret-mode off-TPU.
+    kernel — the zero-prep raw-audio kernel (ops/kernels/fused_raw,
+    pre-emphasis inside the kernel) when the config is eligible, else
+    XLA preemph + the DIT/direct kernel; interpret-mode off-TPU.
     """
     if cfg.dither > 0.0:
         from ..ops import dither as dither_op
         with jax.named_scope("dither"):
             x = dither_op.apply_jax(x, cfg)
-    with jax.named_scope("preemph"):
-        y = framing.preemphasize(x, cfg)
     if backend_lib.resolve(backend, cfg) == "pallas":
         from ..ops import kernels
-        squeeze = y.ndim == 1
-        yb = y[None, :] if squeeze else y
-        with jax.named_scope("fused_mfcc_kernel"):
-            feat = kernels.fused_features_auto(
-                yb, cfg, apply_dct=apply_dct,
-                interpret=backend_lib.pallas_interpret())
+        squeeze = x.ndim == 1
+        xb = x[None, :] if squeeze else x
+        if kernels.fused_raw.raw_kernel_eligible(cfg):
+            with jax.named_scope("fused_raw_kernel"):
+                feat = kernels.fused_raw.fused_features_raw(
+                    xb, cfg, apply_dct=apply_dct,
+                    interpret=backend_lib.pallas_interpret())
+        else:
+            with jax.named_scope("preemph"):
+                yb = framing.preemphasize(xb, cfg)
+            with jax.named_scope("fused_mfcc_kernel"):
+                feat = kernels.fused_features_auto(
+                    yb, cfg, apply_dct=apply_dct,
+                    interpret=backend_lib.pallas_interpret())
         if squeeze:
             feat = feat[0]
     else:
+        with jax.named_scope("preemph"):
+            y = framing.preemphasize(x, cfg)
         with jax.named_scope("stft_power"):
             p_lo, p_hi = spectrum.power_spectrum_split(y, cfg)
         with jax.named_scope("mel_log"):

@@ -10,6 +10,10 @@ framework hand-writes MXU/VPU kernels in Pallas.
   Pallas but loses in XLA).
 - :mod:`fused_mfcc` — single-kernel direct hop-block variant (fallback
   for configs the DIT kernel can't take: odd hop, n_fft % 4 != 0).
+- :mod:`fused_raw` — v3: consumes RAW audio (pre-emphasis and frame
+  assembly in-kernel via a lane-phase-periodic layout), deleting the
+  XLA-side prep that the scan-protocol ablation showed costs ~47% of
+  the DIT pipeline's time (bench/kernel_probe.py).
 
 Every kernel ships with an ``interpret=True`` parity path and is tested
 against the jnp stages on CPU (tests/test_kernels.py) — the TPU analog of
@@ -18,6 +22,7 @@ a sanitizer build (SURVEY.md §5).
 
 from . import fused_mfcc  # noqa: F401
 from . import fused_dit   # noqa: F401
+from . import fused_raw   # noqa: F401
 
 
 def fused_features_auto(y, cfg, *, apply_dct=True, interpret=False):

@@ -18,12 +18,16 @@ raw rows ("one period").  So per grid step:
             8 lead rows carry the pre-emphasis predecessor across steps)
       VPU   pre-emphasis in-register: z[n] = x[n] - a*x[n-1] via one
             lane-roll + one sublane-roll for the row boundary
-      VPU   reshape rows -> periods: (nper*rpp, LANE) -> (nper, rpp*LANE),
-            lane-concat the next period row -> W (nper, rpp*LANE + tail)
-            == every frame of phase p is W[k, p*hop : p*hop + frame_len]
-      MXU   per phase p: S_p = W-slice @ [cos | sin]   (K = frame_len,
+      VPU   reshape rows -> periods: (nper*rpp, LANE) -> (nper, rpp*LANE)
+            == every frame of phase p is lanes [p*hop, p*hop+frame_len)
+            of one period row (crossing into the next row for at most
+            the last `tail` lanes)
+      MXU   per phase p: S_p = row-slice @ [cos | sin]  (K = frame_len,
             N = 2*(n_bins-1) lanes exact; split-bin Nyquist as a VPU
-            rank-1 rowsum)
+            rank-1 rowsum).  Boundary-crossing phases run as TWO sliced
+            GEMMs against sliced basis rows (Mosaic can't lane-concat
+            mismatched sublane offsets; after lane padding the split
+            costs the same MACs)
       VPU   |X|^2, mel (MXU), accurate log, DCT (MXU) per phase
       VPU   interleave the P phase results -> natural frame order
       DMA   out tile write
@@ -119,8 +123,19 @@ def _plan(cfg: FeatureConfig, tile_t: int | None, apply_dct: bool):
         precision=cfg.matmul_precision)
 
 
-def _kernel(audio_hbm, basis, chi, mlo, mhi, dctm, out_ref, buf, sem, *,
-            plan: _PlanRaw, frame_len: int, hop: int):
+def _kernel(*refs, plan: _PlanRaw, frame_len: int, hop: int):
+    # refs = (audio_hbm, basis, mlo, mhi, dctm, chiW_0..chiW_{P-1},
+    #         chiN_p for crossing p, out_ref, buf, sem).  chiW_p / chiN_p
+    #         are (1, rpp*LANE) zero-padded full rows: Mosaic broadcasts
+    #         only offset-0 full reads (lane-offset slices of chi fail
+    #         layout assignment), so the per-phase Nyquist rows are
+    #         prebuilt host-side in frame-aligned lane positions.
+    audio_hbm, basis, mlo, mhi, dctm = refs[:5]
+    n_cross = sum(1 for p in range(plan.P)
+                  if p * hop + frame_len > plan.rpp * LANE)
+    chiw = refs[5: 5 + plan.P]
+    chin = refs[5 + plan.P: 5 + plan.P + n_cross]
+    out_ref, buf, sem = refs[5 + plan.P + n_cross:]
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -170,21 +185,44 @@ def _kernel(audio_hbm, basis, chi, mlo, mhi, dctm, out_ref, buf, sem, *,
     # ---- rows -> periods; frames become static lane slices ----
     nper, rpp, P, fpp = plan.nper, plan.rpp, plan.P, plan.fpp
     Z = z[LEAD: LEAD + nper * rpp, :].reshape(nper, rpp * LANE)
-    if plan.tail > 0:
-        Znext = pltpu.roll(Z, shift=nper - 1, axis=0)  # roll by -1 row
-        W = jnp.concatenate([Z, Znext[:, : plan.tail]], axis=1)
-    else:
-        W = Z
+    W = Z[:fpp]                 # period rows (fpp, rpp*LANE)
+    Wn = Z[1: 1 + fpp] if plan.tail > 0 else None   # +1-row lookahead
+    row_lanes = rpp * LANE
 
     # ---- per-phase: packed DFT GEMM + split-bin Nyquist + mel + DCT ----
+    # Frames whose lane span crosses the period-row boundary are computed
+    # as TWO sliced GEMMs against sliced basis rows (Mosaic cannot
+    # concatenate vectors with mismatched sublane offsets, and after lane
+    # padding the split costs the same MACs as one padded GEMM).
     nb = plan.bins_lo
+    bas = basis[:]
     feats = []
     energies_p = []
+    cross_i = 0
     for p in range(P):
-        M = W[:fpp, p * hop: p * hop + frame_len]     # (fpp, frame_len)
-        S = jnp.dot(M, basis[:], preferred_element_type=jnp.float32,
-                    precision=prec)                   # (fpp, 2*nb)
-        s_hi = jnp.sum(M * chi[0:1, :], axis=1, keepdims=True)
+        lo = p * hop
+        hi = lo + frame_len
+        if hi <= row_lanes:
+            M = W[:, lo:hi]                           # (fpp, frame_len)
+            S = jnp.dot(M, bas, preferred_element_type=jnp.float32,
+                        precision=prec)               # (fpp, 2*nb)
+            s_hi = jnp.sum(W * chiw[p][:], axis=1, keepdims=True)
+            en = (jnp.sum(M * M, axis=1, keepdims=True)
+                  if plan.append_energy else None)
+        else:
+            k1 = row_lanes - lo
+            A = W[:, lo:row_lanes]                    # (fpp, k1)
+            Bp = Wn[:, : hi - row_lanes]              # (fpp, frame_len-k1)
+            S = (jnp.dot(A, bas[:k1], preferred_element_type=jnp.float32,
+                         precision=prec)
+                 + jnp.dot(Bp, bas[k1:], preferred_element_type=jnp.float32,
+                           precision=prec))
+            s_hi = (jnp.sum(W * chiw[p][:], axis=1, keepdims=True)
+                    + jnp.sum(Wn * chin[cross_i][:], axis=1, keepdims=True))
+            cross_i += 1
+            en = ((jnp.sum(A * A, axis=1, keepdims=True)
+                   + jnp.sum(Bp * Bp, axis=1, keepdims=True))
+                  if plan.append_energy else None)
         re, im = S[:, :nb], S[:, nb:]
         p_lo = re * re + im * im
         p_hi = s_hi * s_hi
@@ -199,7 +237,6 @@ def _kernel(audio_hbm, basis, chi, mlo, mhi, dctm, out_ref, buf, sem, *,
                      precision=prec)
              if plan.apply_dct else logmel)
         if plan.append_energy:
-            en = jnp.sum(M * M, axis=1, keepdims=True)
             energies_p.append(_acc_log(jnp.maximum(en, plan.log_floor)))
         feats.append(f)
 
@@ -222,12 +259,29 @@ def _matrices(cfg: FeatureConfig, mels_pad: int, out_pad: int,
               apply_dct: bool):
     """Float32 VMEM constants (float64 oracle-layer math).  Basis packs
     [cos | sin] for bins 0..n_bins-2 (2*(n_bins-1) lanes, exact for
-    n_fft=512); chi is the real Nyquist column (rank-1, VPU)."""
+    n_fft=512).  The real Nyquist column (rank-1, VPU) ships as P
+    zero-padded (1, rpp*LANE) rows with the chi values in each phase's
+    frame-aligned lane positions (+ a next-row part for boundary-crossing
+    phases): Mosaic only broadcasts offset-0 full reads."""
     cos_m, sin_m = spectrum_op.dft_matrices(cfg)     # (frame_len, n_bins)
     nb = cfg.n_bins - 1
     basis = np.concatenate([cos_m[:, :nb], sin_m[:, :nb]],
                            axis=1).astype(np.float32)
-    chi = cos_m[:, nb:].astype(np.float32).T         # (1, frame_len)
+    chi = cos_m[:, nb].astype(np.float32)            # (frame_len,)
+    P = LANE // math.gcd(cfg.hop_len, LANE)
+    row_lanes = cfg.hop_len * P // LANE * LANE
+    fl, hop = cfg.frame_len, cfg.hop_len
+    chiw, chin = [], []
+    for p in range(P):
+        lo, hi = p * hop, p * hop + fl
+        w = np.zeros((1, row_lanes), np.float32)
+        k1 = min(hi, row_lanes) - lo
+        w[0, lo: lo + k1] = chi[:k1]
+        chiw.append(w)
+        if hi > row_lanes:
+            nx = np.zeros((1, row_lanes), np.float32)
+            nx[0, : hi - row_lanes] = chi[k1:]
+            chin.append(nx)
     mel = mel_op.mel_matrix(cfg)                     # (n_bins, n_mels) f64
     mlo = np.zeros((nb, mels_pad), np.float32)
     mlo[:, : cfg.n_mels] = mel[:nb]
@@ -236,7 +290,7 @@ def _matrices(cfg: FeatureConfig, mels_pad: int, out_pad: int,
     d = np.zeros((mels_pad, out_pad), np.float32)
     if apply_dct:
         d[: cfg.n_mels, : cfg.n_mfcc] = dct_op.dct_matrix(cfg)
-    return basis, chi, mlo, mhi, d
+    return basis, tuple(chiw), tuple(chin), mlo, mhi, d
 
 
 def fused_features_raw(x: jnp.ndarray, cfg: FeatureConfig, *,
@@ -271,18 +325,17 @@ def fused_features_raw(x: jnp.ndarray, cfg: FeatureConfig, *,
     x = jnp.pad(x.astype(jnp.float32), ((0, 0), (LEAD * LANE, tail_pad)))
     raw = x.reshape(B, rows_total, LANE)
 
-    basis, chi, mlo, mhi, d = _matrices(cfg, plan.mels_pad, plan.out_pad,
-                                        apply_dct)
+    basis, chiw, chin, mlo, mhi, d = _matrices(cfg, plan.mels_pad,
+                                               plan.out_pad, apply_dct)
 
     vmem_const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_const = 4 + len(chiw) + len(chin)
     out = pl.pallas_call(
         functools.partial(_kernel, plan=plan, frame_len=cfg.frame_len,
                           hop=hop),
         grid=(B, tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),       # raw rows in HBM
-            vmem_const, vmem_const, vmem_const, vmem_const, vmem_const,
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]   # raw rows in HBM
+        + [vmem_const] * n_const,
         out_specs=pl.BlockSpec(
             (1, plan.tile_t, plan.out_pad), lambda b, t: (b, t, 0),
             memory_space=pltpu.VMEM),
@@ -302,7 +355,8 @@ def fused_features_raw(x: jnp.ndarray, cfg: FeatureConfig, *,
                                 + tiles * plan.tile_t * plan.out_pad) * 4,
             transcendentals=B * tiles * plan.tile_t * plan.mels_pad,
         ),
-    )(raw, jnp.asarray(basis), jnp.asarray(chi), jnp.asarray(mlo),
-      jnp.asarray(mhi), jnp.asarray(d))
+    )(raw, jnp.asarray(basis), jnp.asarray(mlo), jnp.asarray(mhi),
+      jnp.asarray(d), *[jnp.asarray(c) for c in chiw],
+      *[jnp.asarray(c) for c in chin])
 
     return out[:, :T, :n_out]
