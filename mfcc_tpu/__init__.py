@@ -16,7 +16,8 @@ Quick start::
     feats = models.mfcc.mfcc_jit(x, cfg)    # (98, 13)
 """
 
-from .config import FeatureConfig, MFCC13, LOGMEL80, logmel_config  # noqa: F401
+from .config import (FeatureConfig, PitchConfig, MFCC13,  # noqa: F401
+                     LOGMEL80, logmel_config)
 from . import oracle, ops, models, dataset  # noqa: F401
 
 __version__ = "0.1.0"

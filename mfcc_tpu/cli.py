@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PLP critical-band filter count")
     f.add_argument("--lpc-order", type=int, default=12,
                    help="PLP all-pole model order")
+    f.add_argument("--pitch", action="store_true",
+                   help="append 3-dim Kaldi-style pitch features "
+                        "[pov, normalized log pitch, delta] to the output")
     return p
 
 
@@ -97,6 +100,7 @@ def main(argv=None) -> int:
     cfg = config_from_args(a)
     opts = RunnerOptions(
         out_dir=a.out, batch_size=a.batch_size, logmel=a.logmel, plp=a.plp,
+        pitch=a.pitch,
         resume=not a.no_resume, trace_dir=a.trace_dir, backend=a.backend,
         out_format=a.format, resample=a.resample)
     rep = run(a.input, cfg, opts)

@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import json
+import math
 from typing import Optional
 
 
@@ -213,6 +214,94 @@ class FeatureConfig:
         return hashlib.sha256(self.to_json().encode()).hexdigest()[:12]
 
     def replace(self, **kw) -> "FeatureConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class PitchConfig:
+    """Frozen numerical contract for the pitch front-end (models/pitch.py).
+
+    NCCF + Viterbi pitch tracking in the Kaldi style (Ghahremani et al.,
+    "A pitch extraction algorithm tuned for ASR", 2014), with conventions
+    adapted to this framework's TPU-native stages — exact definitions in
+    docs/conventions.md.  A separate dataclass (not FeatureConfig fields)
+    because pitch is an independent front-end with its own contract and
+    growing FeatureConfig renames every existing config_hash.
+    """
+
+    sample_rate: int = 16_000
+    # processing rate: the input is polyphase-resampled here first, which
+    # also provides the anti-alias lowpass at work_rate/2 (Kaldi separately
+    # lowpasses at 1 kHz; work_rate=2000 reproduces that exactly, 4000
+    # keeps more band and twice the lag resolution — the default)
+    work_rate: int = 4_000
+    frame_ms: float = 25.0
+    hop_ms: float = 10.0
+    min_f0: float = 50.0           # lowest lag ~ work_rate / min_f0
+    max_f0: float = 400.0          # highest lag ~ work_rate / max_f0
+    penalty: float = 0.35          # Viterbi cost: penalty * dlog(lag)^2
+    ballast: float = 1.0           # silence suppression, x mean_energy^2
+    norm_window: int = 151         # POV^2-weighted log-pitch mean window
+    delta_window: int = 2          # delta-log-pitch regression window
+
+    @property
+    def frame_len_w(self) -> int:
+        return int(round(self.work_rate * self.frame_ms / 1000.0))
+
+    @property
+    def hop_len_w(self) -> int:
+        return int(round(self.work_rate * self.hop_ms / 1000.0))
+
+    @property
+    def min_lag(self) -> int:
+        return max(2, math.ceil(self.work_rate / self.max_f0))
+
+    @property
+    def max_lag(self) -> int:
+        return int(self.work_rate // self.min_f0)
+
+    @property
+    def n_lags(self) -> int:
+        return self.max_lag - self.min_lag + 1
+
+    @property
+    def n_feats(self) -> int:
+        return 3                   # [pov, normalized log pitch, delta]
+
+    def num_frames(self, n_samples: int) -> int:
+        """Pitch frames for an ``n_samples``-long signal at sample_rate.
+
+        "Valid" framing at the work rate: each frame needs frame_len_w
+        + max_lag work samples (the NCCF shifted window), tail dropped.
+        """
+        from .ops.resample import resampled_length
+        nw = resampled_length(n_samples, self.sample_rate, self.work_rate)
+        need = self.frame_len_w + self.max_lag
+        if nw < need:
+            return 0
+        return 1 + (nw - need) // self.hop_len_w
+
+    def validate(self) -> "PitchConfig":
+        if self.work_rate > self.sample_rate:
+            raise ValueError("work_rate must be <= sample_rate")
+        if not (0 < self.min_f0 < self.max_f0):
+            raise ValueError("need 0 < min_f0 < max_f0")
+        if self.max_f0 > self.work_rate / 2:
+            raise ValueError("max_f0 must be <= work_rate / 2")
+        if self.min_lag >= self.max_lag:
+            raise ValueError("empty lag grid (raise work_rate or widen "
+                             "the f0 band)")
+        if self.norm_window < 1 or self.norm_window % 2 == 0:
+            raise ValueError("norm_window must be odd and >= 1")
+        return self
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    def config_hash(self) -> str:
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:12]
+
+    def replace(self, **kw) -> "PitchConfig":
         return dataclasses.replace(self, **kw)
 
 

@@ -4,8 +4,10 @@
 - :mod:`logmel`    — log-mel-80 variant (DCT skipped) with delta appends
 - :mod:`spectrogram` — linear power/log spectrogram variant
 - :mod:`plp`       — perceptual linear prediction (bark + LPC cepstra)
+- :mod:`pitch`     — NCCF + Viterbi pitch tracker (Kaldi-style features)
 - :mod:`streaming` — chunked low-latency STFT with overlap carry state
 - :mod:`trainable` — learnable filterbank front-end (training-step demo)
 """
 
-from . import mfcc, logmel, spectrogram, plp, streaming, trainable  # noqa: F401
+from . import (mfcc, logmel, spectrogram, plp, pitch, streaming,  # noqa: F401
+               trainable)

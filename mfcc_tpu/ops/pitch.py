@@ -1,0 +1,273 @@
+"""Pitch compute stages (NCCF + Viterbi, Kaldi-style) — TPU-shaped.
+
+The tracker follows Ghahremani et al. 2014 ("A pitch extraction algorithm
+tuned for ASR", the Kaldi pitch) in structure; exact conventions are ours
+and live in docs/conventions.md, mirrored stage-for-stage by the float64
+oracle (oracle.pitch).
+
+TPU mapping (the reference analog is SURVEY.md §2b's "parser" stage —
+frames -> per-frame evidence — realized as GEMMs, not scalar loops):
+
+- lowpass + decimate to the work rate: the existing polyphase resampler
+  (one GEMM; its Kaiser anti-alias filter IS the pitch lowpass).
+- NCCF numerator for ALL lags at once via the correlation theorem on a
+  GEMM-native real DFT: num = Re[conj(DFT(A)) * DFT(E)] -> IDFT at the
+  lag grid.  Three constant-folded matrix products per frame block, no
+  (T, n_lags, window) gather materialization (that tensor would be
+  ~1.8 GB for a 64 x 10 s batch; the spectra are ~45 MB).
+- window energies via one cumulative sum + static slices.
+- Viterbi smoothing over the log-spaced lag grid as a ``lax.scan`` with
+  an (n_lags, n_lags) transition-cost matrix; backtrace is a second
+  reversed scan.  All shapes static; batch via ``vmap``.
+
+Padded (ragged-batch) frames get their NCCF masked to exactly 0 before
+the Viterbi pass: a flat-zero emission makes staying in the current
+state free and optimal, so the padded tail provably never changes the
+path through the valid region (transition costs are >= 0 with equality
+only on the diagonal).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import PitchConfig
+from . import deltas as deltas_op
+from .resample import resample, reduce_ratio
+
+
+# --------------------------------------------------------------------------
+# Constant-folded matrices (float64 construction)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _corr_matrices(pcfg: PitchConfig):
+    """DFT/IDFT matrices for the NCCF correlation theorem.
+
+    n = frame_len_w + max_lag samples per extended window; Nc = n (the
+    lag range 0..max_lag never wraps a length-n circular correlation
+    because j + L <= n - 1 for j < frame_len_w).  K = Nc//2 + 1 real
+    bins; the IDFT lands directly on the min_lag..max_lag grid with the
+    1/Nc and the 2x interior-bin weights folded in.
+    """
+    n = pcfg.frame_len_w + pcfg.max_lag
+    Nc = n + (n % 2)                       # even, so bin Nc/2 is real
+    K = Nc // 2 + 1
+    j = np.arange(Nc, dtype=np.float64)[:, None]
+    k = np.arange(K, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * j * k / Nc
+    cos_m = np.cos(ang)                    # (Nc, K)
+    sin_m = np.sin(ang)
+    wk = np.full((K,), 2.0)
+    wk[0] = 1.0
+    if Nc % 2 == 0:
+        wk[-1] = 1.0
+    lags = np.arange(pcfg.min_lag, pcfg.max_lag + 1, dtype=np.float64)
+    angL = 2.0 * np.pi * k.T * lags[None, :] / Nc   # (K, n_lags)
+    cl = (wk[:, None] * np.cos(angL)) / Nc
+    sl = (wk[:, None] * np.sin(angL)) / Nc
+    f32 = np.float32
+    return (n, Nc, cos_m.astype(f32), sin_m.astype(f32),
+            cl.astype(f32), sl.astype(f32))
+
+
+@functools.lru_cache(maxsize=16)
+def _trans_matrix(pcfg: PitchConfig) -> np.ndarray:
+    """(n_lags, n_lags) Viterbi transition costs penalty * dlog(lag)^2."""
+    lags = np.arange(pcfg.min_lag, pcfg.max_lag + 1, dtype=np.float64)
+    d = np.log(lags)[:, None] - np.log(lags)[None, :]
+    return (pcfg.penalty * d * d).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# Stages
+# --------------------------------------------------------------------------
+
+def work_lengths(lengths: jnp.ndarray, pcfg: PitchConfig) -> jnp.ndarray:
+    """True work-rate sample counts: ceil(len * L / M) (resampler
+    convention)."""
+    L, M = reduce_ratio(pcfg.sample_rate, pcfg.work_rate)
+    return (lengths.astype(jnp.int32) * L + (M - 1)) // M
+
+
+def pitch_frame_counts(lengths: jnp.ndarray, pcfg: PitchConfig) -> jnp.ndarray:
+    nw = work_lengths(lengths, pcfg)
+    n = (nw - (pcfg.frame_len_w + pcfg.max_lag)) // pcfg.hop_len_w + 1
+    return jnp.maximum(n, 0).astype(jnp.int32)
+
+
+def nccf(xw: jnp.ndarray, pcfg: PitchConfig, mask: jnp.ndarray, *,
+         precision=jax.lax.Precision.HIGHEST):
+    """(B, Nw) work-rate signal -> (nccf_ballasted, nccf_plain), each
+    (B, T, n_lags).  mask: (B, T) frame validity (for the masked mean
+    energy the ballast scales with)."""
+    w, hop = pcfg.frame_len_w, pcfg.hop_len_w
+    n, Nc, cos_m, sin_m, cl, sl = _corr_matrices(pcfg)
+    B, Nw = xw.shape
+    T = mask.shape[1]
+
+    # extended frames (B, T, n): static gather, same idiom as framing.frame
+    idx = (np.arange(T) * hop)[:, None] + np.arange(n)[None, :]
+    idx = np.minimum(idx, max(Nw - 1, 0))
+    E = xw[:, idx]                                     # (B, T, n)
+    A = jnp.where(jnp.arange(n) < w, E, 0.0)           # windowed part
+
+    if Nc > n:
+        pad = [(0, 0), (0, 0), (0, Nc - n)]
+        E = jnp.pad(E, pad)
+        A = jnp.pad(A, pad)
+
+    cm, sm = jnp.asarray(cos_m), jnp.asarray(sin_m)
+    re_a = jnp.matmul(A, cm, precision=precision)
+    im_a = -jnp.matmul(A, sm, precision=precision)
+    re_e = jnp.matmul(E, cm, precision=precision)
+    im_e = -jnp.matmul(E, sm, precision=precision)
+    # conj(FA) * FE
+    R = re_a * re_e + im_a * im_e
+    I = re_a * im_e - im_a * re_e
+    num = (jnp.matmul(R, jnp.asarray(cl), precision=precision)
+           - jnp.matmul(I, jnp.asarray(sl), precision=precision))
+
+    # window energies: one cumsum + static slices
+    cs = jnp.cumsum(E[..., :n] * E[..., :n], axis=-1)
+    e0 = cs[..., w - 1]                                # (B, T)
+    lo, hi = pcfg.min_lag, pcfg.max_lag
+    e_lag = (cs[..., w - 1 + lo: w + hi] - cs[..., lo - 1: hi])
+
+    mask_f = mask.astype(e0.dtype)
+    n_valid = jnp.maximum(mask_f.sum(axis=1), 1.0)
+    mean_e = (e0 * mask_f).sum(axis=1) / n_valid       # (B,)
+
+    prod = jnp.maximum(e0[..., None] * e_lag, 1e-30)
+    denom_plain = jnp.sqrt(prod)
+    ball = (pcfg.ballast * mean_e * mean_e)[:, None, None]
+    denom_ball = jnp.sqrt(prod + ball)
+    return num / denom_ball, num / denom_plain
+
+
+def viterbi(nccf_b: jnp.ndarray, pcfg: PitchConfig) -> jnp.ndarray:
+    """(B, T, n_lags) masked ballasted NCCF -> (B, T) int32 lag indices."""
+    trans = jnp.asarray(_trans_matrix(pcfg))           # (from j, to i)
+
+    def one(scores):                                   # (T, n_lags)
+        def fwd(cost, s_t):
+            tot = cost[:, None] + trans
+            arg = jnp.argmin(tot, axis=0).astype(jnp.int32)
+            return jnp.min(tot, axis=0) - s_t, arg
+
+        cost, back = jax.lax.scan(fwd, -scores[0], scores[1:])
+        last = jnp.argmin(cost).astype(jnp.int32)
+
+        def bwd(nxt, arg_t):
+            cur = arg_t[nxt]
+            return cur, nxt
+
+        first, rest = jax.lax.scan(bwd, last, back, reverse=True)
+        return jnp.concatenate([first[None], rest])
+
+    return jax.vmap(one)(nccf_b)
+
+
+def _parabolic(nccf_p: jnp.ndarray, path: jnp.ndarray) -> jnp.ndarray:
+    """Sub-sample lag refinement around the path (oracle._parabolic_lag
+    semantics: 0 at grid edges or flat curvature, clipped to +-0.5)."""
+    n = nccf_p.shape[-1]
+    pick = lambda i: jnp.take_along_axis(
+        nccf_p, jnp.clip(i, 0, n - 1)[..., None], axis=-1)[..., 0]
+    y0 = pick(path)
+    ym = pick(path - 1)
+    yp = pick(path + 1)
+    denom = ym - 2.0 * y0 + yp
+    d = jnp.where(jnp.abs(denom) < 1e-12, 0.0,
+                  0.5 * (ym - yp) / jnp.where(denom == 0, 1.0, denom))
+    d = jnp.clip(d, -0.5, 0.5)
+    return jnp.where((path == 0) | (path == n - 1), 0.0, d)
+
+
+def pov_feature(c: jnp.ndarray) -> jnp.ndarray:
+    """Kaldi's NCCF -> POV-feature nonlinearity: 2*((1.0001 - c)^0.15 - 1).
+    pow via exp(0.15 * log(.)) with the accurate log (ops/xmath)."""
+    from . import xmath
+    base = 1.0001 - jnp.clip(c, -1.0, 1.0)
+    return 2.0 * (jnp.exp(jnp.float32(0.15) * xmath.accurate_log(base)) - 1.0)
+
+
+def weighted_sliding_mean(v: jnp.ndarray, wgt: jnp.ndarray,
+                          window: int) -> jnp.ndarray:
+    """(B, T) centered weighted sliding mean, edges shrink (oracle
+    semantics); frames with zero total weight fall back to v[t]."""
+    T = v.shape[-1]
+    half = window // 2
+    zero = jnp.zeros(v.shape[:-1] + (1,), v.dtype)
+    pv = jnp.concatenate([zero, jnp.cumsum(v * wgt, axis=-1)], axis=-1)
+    pw = jnp.concatenate([zero, jnp.cumsum(wgt, axis=-1)], axis=-1)
+    hi = np.minimum(np.arange(T) + half + 1, T)        # static indices
+    lo = np.maximum(np.arange(T) - half, 0)
+    sv = pv[..., hi] - pv[..., lo]
+    sw = pw[..., hi] - pw[..., lo]
+    return jnp.where(sw > 1e-12, sv / jnp.maximum(sw, 1e-12), v)
+
+
+def pitch_features(x: jnp.ndarray, lengths: jnp.ndarray,
+                   pcfg: PitchConfig, *,
+                   precision=jax.lax.Precision.HIGHEST):
+    """(B, N) zero-padded audio at pcfg.sample_rate + (B,) true lengths ->
+    ((B, T, 3) [pov, normalized log pitch, delta log pitch], (B,) frame
+    counts, (B, T) mask).  Matches oracle.pitch frame-for-frame on the
+    valid region (zero padding commutes with the polyphase resampler's
+    own zero-padded edges)."""
+    B, N = x.shape
+    T = pcfg.num_frames(N)
+    if T <= 0:
+        z = jnp.zeros((B, 0, pcfg.n_feats), jnp.float32)
+        return z, jnp.zeros((B,), jnp.int32), jnp.zeros((B, 0), bool)
+    xw = (resample(x.astype(jnp.float32), pcfg.sample_rate, pcfg.work_rate,
+                   precision=precision)
+          if pcfg.work_rate != pcfg.sample_rate else x.astype(jnp.float32))
+    flens = pitch_frame_counts(lengths, pcfg)
+    flens = jnp.minimum(flens, T)
+    mask = jnp.arange(T, dtype=jnp.int32)[None, :] < flens[:, None]
+
+    nccf_b, nccf_p = nccf(xw, pcfg, mask, precision=precision)
+    nccf_b = jnp.where(mask[..., None], nccf_b, 0.0)
+    path = viterbi(nccf_b, pcfg)
+
+    c = jnp.take_along_axis(nccf_p, path[..., None], axis=-1)[..., 0]
+    dlag = _parabolic(nccf_p, path)
+    lag = pcfg.min_lag + path.astype(jnp.float32) + dlag
+    from . import xmath
+    log_f0 = xmath.accurate_log(jnp.float32(pcfg.work_rate) / lag)
+
+    pov = pov_feature(c)
+    wgt = jnp.clip(c, 0.0, 1.0) ** 2 * mask.astype(c.dtype)
+    norm = log_f0 - weighted_sliding_mean(log_f0, wgt, pcfg.norm_window)
+    d = deltas_op.deltas(log_f0[..., None], pcfg.delta_window,
+                         lengths=flens)[..., 0]
+
+    feat = jnp.stack([pov, norm, d], axis=-1)
+    return jnp.where(mask[..., None], feat, 0.0), flens, mask
+
+
+def pitch_track(x: jnp.ndarray, lengths: jnp.ndarray, pcfg: PitchConfig):
+    """(B, N), (B,) -> ((B, T) f0 in Hz, (B, T) plain NCCF 'voicing', mask).
+    The raw track for consumers that want Hz rather than ASR features."""
+    B, N = x.shape
+    T = pcfg.num_frames(N)
+    if T <= 0:
+        z = jnp.zeros((B, 0), jnp.float32)
+        return z, z, jnp.zeros((B, 0), bool)
+    xw = (resample(x.astype(jnp.float32), pcfg.sample_rate, pcfg.work_rate)
+          if pcfg.work_rate != pcfg.sample_rate else x.astype(jnp.float32))
+    flens = jnp.minimum(pitch_frame_counts(lengths, pcfg), T)
+    mask = jnp.arange(T, dtype=jnp.int32)[None, :] < flens[:, None]
+    nccf_b, nccf_p = nccf(xw, pcfg, mask)
+    nccf_b = jnp.where(mask[..., None], nccf_b, 0.0)
+    path = viterbi(nccf_b, pcfg)
+    c = jnp.take_along_axis(nccf_p, path[..., None], axis=-1)[..., 0]
+    lag = pcfg.min_lag + path.astype(jnp.float32) + _parabolic(nccf_p, path)
+    f0 = jnp.float32(pcfg.work_rate) / lag
+    return jnp.where(mask, f0, 0.0), jnp.where(mask, c, 0.0), mask

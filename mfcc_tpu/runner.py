@@ -125,6 +125,8 @@ class RunnerOptions:
     batch_size: int = 16
     logmel: bool = False              # log-mel pipeline instead of MFCC
     plp: bool = False                 # PLP pipeline instead of MFCC
+    pitch: bool = False               # append 3-dim pitch features
+                                      # (models/pitch.py, edge-aligned)
     min_bucket: int = 16_000          # 1 s
     max_bucket: int = 16_000 * 30     # 30 s
     resume: bool = True
@@ -254,13 +256,32 @@ def _decode_batch(pb, cfg, resample=False):
     return audio, lengths
 
 
-def _feature_fn(opts):
+def _base_feature_fn(opts):
     if opts.logmel:
-        return logmel_model.log_mel_batch_jit
+        return logmel_model.log_mel_batch
     if opts.plp:
         from .models import plp as plp_model
-        return plp_model.plp_batch_jit
-    return mfcc_model.mfcc_batch_jit
+        return plp_model.plp_batch
+    return mfcc_model.mfcc_batch
+
+
+def _feature_fn(opts):
+    base = _base_feature_fn(opts)
+    if not opts.pitch:
+        return jax.jit(base, static_argnames=("cfg", "backend"))
+
+    from .models import pitch as pitch_model
+    from .config import PitchConfig
+
+    def with_pitch(a, l, cfg, backend="auto"):
+        feat, flens, mask = base(a, l, cfg, backend)
+        pcfg = PitchConfig(sample_rate=cfg.sample_rate).validate()
+        pf, pl, _ = pitch_model.pitch_batch(a, l, pcfg)
+        pf = pitch_model.align_pitch(pf, pl, feat.shape[1])
+        pf = jnp.where(mask[..., None], pf, 0.0)
+        return jnp.concatenate([feat, pf], axis=-1), flens, mask
+
+    return jax.jit(with_pitch, static_argnames=("cfg", "backend"))
 
 
 def _out_path(out_dir: str, wav_path: str) -> str:
@@ -376,6 +397,8 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
     stats_path = os.path.join(opts.out_dir, "cmvn.npz")
     n_feats = (cfg.n_feats if not opts.logmel
                else cfg.n_mels * (3 if cfg.deltas else 1))
+    if opts.pitch:
+        n_feats += 3
     stats = cmvn_lib.Stats(np.float64(0.0), np.zeros(n_feats, np.float64),
                            np.zeros(n_feats, np.float64))
     if man is not None and man.cmvn is not None:
@@ -402,6 +425,17 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
             ref_fn = (oracle.log_mel if opts.logmel
                       else oracle.plp if opts.plp else oracle.mfcc)
             want = ref_fn(x[: lengths[i]].astype(np.float64), cfg)
+            if opts.pitch:
+                from .config import PitchConfig
+                pcfg = PitchConfig(sample_rate=cfg.sample_rate).validate()
+                pw = oracle.pitch(x[: lengths[i]].astype(np.float64), pcfg)
+                if pw.shape[0] == 0:
+                    pw = np.zeros((want.shape[0], 3))
+                else:  # edge-replicate to the main track (align_pitch twin)
+                    idx = np.minimum(np.arange(want.shape[0]),
+                                     pw.shape[0] - 1)
+                    pw = pw[idx]
+                want = np.concatenate([want, pw], axis=-1)
             got = feat_np[i, : flens_np[i]]
             if cfg.cmvn:
                 return  # features are pre-normalization here; skip

@@ -1,0 +1,207 @@
+"""Pitch tracker: float64-oracle parity, f0 ground-truth accuracy,
+ragged-batch/padding invariance, and config validation.
+
+Accuracy contract (docs/conventions.md): pov and delta columns 1e-4 vs
+the oracle; the normalized-log-pitch column 3e-4 (the POV^2-weighted
+sliding mean amplifies the ~1e-5 NCCF roundoff by the window's
+value spread; measured 1.2e-4 worst case on the fixtures).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mfcc_tpu.config import PitchConfig
+from mfcc_tpu import oracle
+from mfcc_tpu.models import pitch as pitch_model
+from mfcc_tpu.ops import pitch as pitch_op
+
+PCFG = PitchConfig().validate()
+SR = 16000
+
+ATOL = {"pov": 1e-4, "norm": 3e-4, "delta": 1e-4}
+
+
+def _tone_silence(rng):
+    t = np.arange(SR) / SR
+    voiced = (0.4 * np.sin(2 * np.pi * 220 * t)
+              + 0.2 * np.sin(2 * np.pi * 440 * t)
+              + 0.01 * rng.standard_normal(SR))
+    sil = 0.001 * rng.standard_normal(SR)
+    return np.concatenate([voiced, sil]).astype(np.float32)
+
+
+def _vibrato(rng, n=SR, f0=180.0, depth=0.1, rate=4.0):
+    t = np.arange(n) / SR
+    phase = 2 * np.pi * f0 * (t + depth / (2 * np.pi * rate)
+                              * np.sin(2 * np.pi * rate * t))
+    x = np.zeros(n)
+    for h, a in ((1, 0.5), (2, 0.25), (3, 0.12)):
+        x += a * np.sin(h * phase)
+    return (x + 0.02 * rng.standard_normal(n)).astype(np.float32)
+
+
+def _check_vs_oracle(x, pcfg=PCFG):
+    want = oracle.pitch(x.astype(np.float64), pcfg)
+    got = np.asarray(pitch_model.pitch_jit(jnp.asarray(x), pcfg))
+    assert got.shape == want.shape
+    for i, nm in enumerate(("pov", "norm", "delta")):
+        err = float(np.abs(got[:, i] - want[:, i]).max())
+        assert err < ATOL[nm], (nm, err)
+
+
+def test_oracle_parity_tone_silence(rng):
+    _check_vs_oracle(_tone_silence(rng))
+
+
+def test_oracle_parity_vibrato(rng):
+    _check_vs_oracle(_vibrato(rng))
+
+
+def test_oracle_parity_noise_only(rng):
+    _check_vs_oracle((0.1 * rng.standard_normal(SR)).astype(np.float32))
+
+
+def test_oracle_parity_work_rate_2000(rng):
+    """work_rate=2000 reproduces Kaldi's 1 kHz lowpass exactly (the
+    resampler's anti-alias cutoff IS the pitch lowpass)."""
+    pcfg = PitchConfig(work_rate=2000).validate()
+    _check_vs_oracle(_tone_silence(rng), pcfg)
+
+
+def test_viterbi_path_matches_oracle(rng):
+    """Integer lag path identical to the float64 Viterbi (no near-ties
+    on generic signals; f32 NCCF roundoff is ~1e-6)."""
+    x = _vibrato(rng)
+    from mfcc_tpu.ops.resample import resample_poly_numpy
+    xw = resample_poly_numpy(x.astype(np.float64), SR, PCFG.work_rate)
+    nb, _ = oracle.nccf(xw, PCFG)
+    want = oracle.pitch_viterbi(nb, PCFG)
+    T = PCFG.num_frames(x.size)
+    mask = jnp.ones((1, T), bool)
+    xw_j = pitch_op.resample(jnp.asarray(x)[None], SR, PCFG.work_rate)
+    nb_j, _ = pitch_op.nccf(xw_j, PCFG, mask)
+    got = np.asarray(pitch_op.viterbi(nb_j, PCFG))[0]
+    assert (got == want).all()
+
+
+def test_f0_ground_truth(rng):
+    """Recovered f0 within 2% of the true (time-varying) f0 on voiced
+    frames of a vibrato harmonic tone."""
+    f0, rate, depth = 180.0, 4.0, 0.1
+    x = _vibrato(rng, f0=f0, rate=rate, depth=depth)
+    got_f0, voicing, mask = pitch_model.pitch_track_batch_jit(
+        jnp.asarray(x)[None], jnp.asarray([x.size], jnp.int32), PCFG)
+    got_f0 = np.asarray(got_f0)[0]
+    T = got_f0.shape[0]
+    # instantaneous f0 at frame centers
+    tc = (np.arange(T) * PCFG.hop_len_w + (PCFG.frame_len_w / 2)) \
+        / PCFG.work_rate
+    true_f0 = f0 * (1 + depth * np.cos(2 * np.pi * rate * tc))
+    rel = np.abs(got_f0 - true_f0) / true_f0
+    assert np.median(rel) < 0.01
+    assert np.percentile(rel, 95) < 0.02
+    assert float(np.asarray(voicing)[0].mean()) > 0.7
+
+
+def test_voicing_separates_silence(rng):
+    x = _tone_silence(rng)
+    feat = np.asarray(pitch_model.pitch_jit(jnp.asarray(x), PCFG))
+    T = feat.shape[0]
+    # pov_feature ~ -1.1 voiced, ~0 unvoiced (Kaldi nonlinearity)
+    assert feat[10: T // 2 - 10, 0].mean() < -0.8
+    assert feat[T // 2 + 10: T - 10, 0].mean() > -0.15
+
+
+def test_batch_matches_single(rng):
+    """Zero-padded ragged batch == per-utterance runs on the valid
+    region; padded frames zero."""
+    a = _tone_silence(rng)                 # 2 s
+    b = _vibrato(rng, n=12000)             # 0.75 s
+    N = a.size
+    xb = np.zeros((2, N), np.float32)
+    xb[0], xb[1, : b.size] = a, b
+    lens = np.asarray([a.size, b.size], np.int32)
+    feat, flens, mask = pitch_model.pitch_batch_jit(
+        jnp.asarray(xb), jnp.asarray(lens), PCFG)
+    feat, flens, mask = map(np.asarray, (feat, flens, mask))
+    assert flens[0] == PCFG.num_frames(a.size)
+    assert flens[1] == PCFG.num_frames(b.size)
+    fa = np.asarray(pitch_model.pitch_jit(jnp.asarray(a), PCFG))
+    fb = np.asarray(pitch_model.pitch_jit(jnp.asarray(b), PCFG))
+    np.testing.assert_allclose(feat[0, : flens[0]], fa, atol=2e-5)
+    np.testing.assert_allclose(feat[1, : flens[1]], fb, atol=2e-5)
+    assert (feat[1, flens[1]:] == 0).all()
+    assert mask[1, flens[1]:].sum() == 0
+
+
+def test_int16_input(rng):
+    x = _tone_silence(rng)
+    xi = (np.clip(x, -1, 1) * 32768.0).astype(np.int16)
+    xf = xi.astype(np.float32) / 32768.0
+    got_i, _, _ = pitch_model.pitch_batch_jit(
+        jnp.asarray(xi)[None], jnp.asarray([x.size], jnp.int32), PCFG)
+    got_f, _, _ = pitch_model.pitch_batch_jit(
+        jnp.asarray(xf)[None], jnp.asarray([x.size], jnp.int32), PCFG)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(got_f),
+                               atol=1e-6)
+
+
+def test_short_signal_zero_frames():
+    x = jnp.zeros((1, 500), jnp.float32)
+    feat, flens, mask = pitch_model.pitch_batch_jit(
+        x, jnp.asarray([500], jnp.int32), PCFG)
+    assert feat.shape == (1, 0, 3)
+    assert int(flens[0]) == 0
+
+
+def test_align_pitch():
+    fp = jnp.arange(2 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 3)
+    flens = jnp.asarray([4, 2], jnp.int32)
+    out = np.asarray(pitch_model.align_pitch(fp, flens, 6))
+    assert out.shape == (2, 6, 3)
+    np.testing.assert_array_equal(out[0, 4], out[0, 3])   # replicated
+    np.testing.assert_array_equal(out[1, 2], out[1, 1])
+    np.testing.assert_array_equal(out[1, 5], out[1, 1])
+    # zero pitch frames -> zeros
+    out0 = np.asarray(pitch_model.align_pitch(
+        fp, jnp.asarray([0, 1], jnp.int32), 3))
+    assert (out0[0] == 0).all()
+
+
+def test_cli_pitch_append(tmp_path, rng):
+    """--pitch end-to-end: CLI -> runner -> npy with 13+3 columns; the
+    run report's oracle self-check covers the combined features."""
+    import json
+    from mfcc_tpu.utils import wav as wavio
+    from mfcc_tpu import cli
+    x = _tone_silence(rng)
+    wavio.write_wav(str(tmp_path / "u.wav"), x, SR)
+    out = tmp_path / "out"
+    rc = cli.main([str(tmp_path / "u.wav"), "-o", str(out), "--pitch"])
+    assert rc == 0
+    feat = np.load(out / "u.npy")
+    assert feat.shape[1] == 16
+    rep = json.load(open(out / "run_report.0.json"))
+    assert rep["max_abs_error"] < 3e-4
+    # pitch columns match the aligned oracle (on the int16-quantized
+    # audio the WAV round-trip actually stored)
+    xq, _sr = wavio.read_wav(str(tmp_path / "u.wav"))
+    want_p = oracle.pitch(xq.astype(np.float64), PCFG)
+    T = feat.shape[0]
+    idx = np.minimum(np.arange(T), want_p.shape[0] - 1)
+    np.testing.assert_allclose(feat[:, 13:], want_p[idx], atol=3e-4)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        PitchConfig(work_rate=32000).validate()
+    with pytest.raises(ValueError):
+        PitchConfig(min_f0=500.0, max_f0=400.0).validate()
+    with pytest.raises(ValueError):
+        PitchConfig(max_f0=3000.0).validate()
+    with pytest.raises(ValueError):
+        PitchConfig(norm_window=150).validate()
+    assert PitchConfig().validate().n_feats == 3
+    assert PitchConfig().config_hash() != PitchConfig(
+        penalty=0.2).config_hash()
