@@ -75,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--pitch", action="store_true",
                    help="append 3-dim Kaldi-style pitch features "
                         "[pov, normalized log pitch, delta] to the output")
+    f.add_argument("--cmvn-sliding", type=int, default=0, metavar="WINDOW",
+                   help="per-utterance sliding-window CMVN (frames; "
+                        "Kaldi apply-cmvn-sliding; 0 = off)")
+    f.add_argument("--splice", type=int, default=0, metavar="N",
+                   help="splice +-N context frames (Kaldi splice-feats; "
+                        "0 = off)")
     return p
 
 
@@ -97,10 +103,13 @@ def config_from_args(a) -> FeatureConfig:
 
 def main(argv=None) -> int:
     a = build_parser().parse_args(argv)
+    if a.cmvn and a.cmvn_sliding:
+        raise SystemExit("--cmvn (global two-pass) and --cmvn-sliding are "
+                         "mutually exclusive")
     cfg = config_from_args(a)
     opts = RunnerOptions(
         out_dir=a.out, batch_size=a.batch_size, logmel=a.logmel, plp=a.plp,
-        pitch=a.pitch,
+        pitch=a.pitch, cmvn_sliding=a.cmvn_sliding, splice=a.splice,
         resume=not a.no_resume, trace_dir=a.trace_dir, backend=a.backend,
         out_format=a.format, resample=a.resample)
     rep = run(a.input, cfg, opts)

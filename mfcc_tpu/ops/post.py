@@ -1,0 +1,118 @@
+"""Feature post-processing: sliding-window CMVN, context splicing,
+energy VAD.
+
+The Kaldi post-processing trio (apply-cmvn-sliding, splice-feats,
+compute-vad) that sits between a front-end and an acoustic model.  All
+three are windowed reductions over the time axis, implemented with the
+same two TPU-friendly idioms the rest of the framework uses: one
+cumulative sum + static slices for sliding statistics, and a static
+clipped-index gather for context windows.  Everything is (B, T, F)
+batched, padding-aware via the frame-count vector, and shape-static
+under jit.  Float64 twins live in oracle.py; parity in
+tests/test_post.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _window_sums(v: jnp.ndarray, window: int):
+    """(B, T, ...) -> per-frame sums over the centered window (edges
+    shrink) and the per-frame effective window counts (B, T)."""
+    T = v.shape[1]
+    half = window // 2
+    zero = jnp.zeros_like(v[:, :1])
+    cs = jnp.concatenate([zero, jnp.cumsum(v, axis=1)], axis=1)
+    hi = np.minimum(np.arange(T) + half + 1, T)      # static indices
+    lo = np.maximum(np.arange(T) - half, 0)
+    return cs[:, hi] - cs[:, lo], (hi - lo)
+
+
+def sliding_cmvn(feat: jnp.ndarray, flens: jnp.ndarray, window: int = 600,
+                 normalize_variance: bool = False) -> jnp.ndarray:
+    """(B, T, F) + (B,) frame counts -> per-frame sliding mean (and
+    optionally variance) normalization over a centered `window`.
+
+    Conventions (documented in docs/conventions.md): the window is
+    centered and SHRINKS at utterance edges (never slides past frame 0
+    or length-1 — for T <= window this equals per-utterance CMVN);
+    padded frames are excluded from every window (they stay zero on
+    output).  Variance is floored at 1e-8 before the rsqrt.
+    """
+    T = feat.shape[1]
+    mask = (jnp.arange(T, dtype=jnp.int32)[None, :]
+            < flens[:, None]).astype(feat.dtype)
+    half = window // 2
+    # per-utterance clamp of the static window bounds: [lo, hi) must stay
+    # inside [0, flen) per row, so count = min(hi, flen) - min(lo, flen)
+    t = np.arange(T)
+    hi_s = np.minimum(t + half + 1, T)[None, :]      # static part
+    lo_s = np.maximum(t - half, 0)[None, :]
+    fl = flens[:, None]
+    cnt = (jnp.minimum(hi_s, fl) - jnp.minimum(lo_s, fl)).astype(feat.dtype)
+    cnt = jnp.maximum(cnt, 1.0)
+
+    fm = feat * mask[..., None]
+    sums, _ = _window_sums(fm, window)               # masked sums
+    mean = sums / cnt[..., None]
+    out = feat - mean
+    if normalize_variance:
+        sq, _ = _window_sums(fm * fm, window)
+        var = jnp.maximum(sq / cnt[..., None] - mean * mean, 1e-8)
+        out = out / jnp.sqrt(var)
+    return out * mask[..., None]
+
+
+def splice(feat: jnp.ndarray, flens: jnp.ndarray, left: int = 3,
+           right: int = 3) -> jnp.ndarray:
+    """(B, T, F) -> (B, T, (left+1+right)*F) context splicing.
+
+    Frame t's output is [x[t-left], ..., x[t], ..., x[t+right]] with
+    neighbor indices clipped to [0, flen-1] per utterance (edge
+    replication at the true ragged boundary — same convention as the
+    delta stage).  Padded frames stay zero.
+    """
+    B, T, F = feat.shape
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]
+    hi_cap = jnp.maximum(flens[:, None], 1) - 1
+    cols = []
+    for off in range(-left, right + 1):
+        idx = jnp.clip(t + off, 0, None)
+        idx = jnp.minimum(idx, hi_cap)
+        cols.append(jnp.take_along_axis(feat, idx[..., None], axis=1))
+    out = jnp.concatenate(cols, axis=-1)
+    mask = t < flens[:, None]
+    return jnp.where(mask[..., None], out, 0.0)
+
+
+def energy_vad(log_energy: jnp.ndarray, flens: jnp.ndarray,
+               threshold: float = 0.0, mean_scale: float = 0.5,
+               context: int = 0, proportion: float = 0.6) -> jnp.ndarray:
+    """(B, T) per-frame log energy + (B,) counts -> (B, T) bool voiced.
+
+    Kaldi compute-vad semantics: a frame's raw decision is
+    log_e > threshold + mean_scale * mean(log_e over the utterance);
+    NOTE Kaldi's threshold default (5.0) assumes int16-scaled waveforms
+    whose log energies sit ~20.8 higher than this framework's [-1, 1]
+    floats — threshold 0.0 is the equivalent operating point here;
+    with context > 0 the final decision takes the vote of the
+    +-context window — voiced iff >= proportion of its (in-utterance)
+    frames pass the raw test.  Padded frames are always unvoiced and
+    never vote.
+    """
+    T = log_energy.shape[1]
+    mask = jnp.arange(T, dtype=jnp.int32)[None, :] < flens[:, None]
+    mf = mask.astype(log_energy.dtype)
+    n = jnp.maximum(mf.sum(axis=1), 1.0)
+    mean_e = (log_energy * mf).sum(axis=1) / n
+    thr = threshold + mean_scale * mean_e
+    raw = (log_energy > thr[:, None]) & mask
+    if context <= 0:
+        return raw
+    votes, _ = _window_sums(raw.astype(jnp.float32)[..., None],
+                            2 * context + 1)
+    in_win, _ = _window_sums(mf[..., None], 2 * context + 1)
+    frac = votes[..., 0] / jnp.maximum(in_win[..., 0], 1.0)
+    return (frac >= proportion) & mask

@@ -490,3 +490,51 @@ def pitch(x: np.ndarray, pcfg) -> np.ndarray:
     norm_log_f0 = log_f0 - weighted_sliding_mean(log_f0, w, pcfg.norm_window)
     d = deltas(log_f0[:, None], pcfg.delta_window)[:, 0]
     return np.stack([pov, norm_log_f0, d], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Feature post-processing twins (ops/post.py) — sliding CMVN, splice, VAD
+# --------------------------------------------------------------------------
+
+def sliding_cmvn(feat: np.ndarray, window: int = 600,
+                 normalize_variance: bool = False) -> np.ndarray:
+    """(T, F) per-frame sliding mean/var normalization, centered window,
+    edges shrink (ops/post.sliding_cmvn twin for one utterance)."""
+    T = feat.shape[0]
+    half = window // 2
+    out = np.zeros_like(feat)
+    for t in range(T):
+        lo, hi = max(0, t - half), min(T, t + half + 1)
+        seg = feat[lo:hi]
+        mean = seg.mean(axis=0)
+        out[t] = feat[t] - mean
+        if normalize_variance:
+            var = np.maximum((seg * seg).mean(axis=0) - mean * mean, 1e-8)
+            out[t] /= np.sqrt(var)
+    return out
+
+
+def splice(feat: np.ndarray, left: int = 3, right: int = 3) -> np.ndarray:
+    """(T, F) -> (T, (left+1+right)*F) context splice, edge replication."""
+    T = feat.shape[0]
+    cols = []
+    for off in range(-left, right + 1):
+        idx = np.clip(np.arange(T) + off, 0, T - 1)
+        cols.append(feat[idx])
+    return np.concatenate(cols, axis=-1)
+
+
+def energy_vad(log_e: np.ndarray, threshold: float = 0.0,
+               mean_scale: float = 0.5, context: int = 0,
+               proportion: float = 0.6) -> np.ndarray:
+    """(T,) log energies -> (T,) bool voiced (ops/post.energy_vad twin)."""
+    thr = threshold + mean_scale * log_e.mean()
+    raw = log_e > thr
+    if context <= 0:
+        return raw
+    T = log_e.shape[0]
+    out = np.zeros((T,), bool)
+    for t in range(T):
+        lo, hi = max(0, t - context), min(T, t + context + 1)
+        out[t] = raw[lo:hi].sum() >= proportion * (hi - lo)
+    return out

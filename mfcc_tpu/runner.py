@@ -127,6 +127,9 @@ class RunnerOptions:
     plp: bool = False                 # PLP pipeline instead of MFCC
     pitch: bool = False               # append 3-dim pitch features
                                       # (models/pitch.py, edge-aligned)
+    cmvn_sliding: int = 0             # sliding-window CMVN (frames; 0=off,
+                                      # mutually exclusive with cfg.cmvn)
+    splice: int = 0                   # symmetric context splice (0=off)
     min_bucket: int = 16_000          # 1 s
     max_bucket: int = 16_000 * 30     # 30 s
     resume: bool = True
@@ -267,21 +270,28 @@ def _base_feature_fn(opts):
 
 def _feature_fn(opts):
     base = _base_feature_fn(opts)
-    if not opts.pitch:
+    if not (opts.pitch or opts.cmvn_sliding or opts.splice):
         return jax.jit(base, static_argnames=("cfg", "backend"))
 
-    from .models import pitch as pitch_model
-    from .config import PitchConfig
-
-    def with_pitch(a, l, cfg, backend="auto"):
+    def wrapped(a, l, cfg, backend="auto"):
         feat, flens, mask = base(a, l, cfg, backend)
-        pcfg = PitchConfig(sample_rate=cfg.sample_rate).validate()
-        pf, pl, _ = pitch_model.pitch_batch(a, l, pcfg)
-        pf = pitch_model.align_pitch(pf, pl, feat.shape[1])
-        pf = jnp.where(mask[..., None], pf, 0.0)
-        return jnp.concatenate([feat, pf], axis=-1), flens, mask
+        if opts.pitch:
+            from .models import pitch as pitch_model
+            from .config import PitchConfig
+            pcfg = PitchConfig(sample_rate=cfg.sample_rate).validate()
+            pf, pl, _ = pitch_model.pitch_batch(a, l, pcfg)
+            pf = pitch_model.align_pitch(pf, pl, feat.shape[1])
+            pf = jnp.where(mask[..., None], pf, 0.0)
+            feat = jnp.concatenate([feat, pf], axis=-1)
+        if opts.cmvn_sliding:               # Kaldi order: cmvn, then splice
+            from .ops import post
+            feat = post.sliding_cmvn(feat, flens, opts.cmvn_sliding)
+        if opts.splice:
+            from .ops import post
+            feat = post.splice(feat, flens, opts.splice, opts.splice)
+        return feat, flens, mask
 
-    return jax.jit(with_pitch, static_argnames=("cfg", "backend"))
+    return jax.jit(wrapped, static_argnames=("cfg", "backend"))
 
 
 def _out_path(out_dir: str, wav_path: str) -> str:
@@ -399,6 +409,8 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
                else cfg.n_mels * (3 if cfg.deltas else 1))
     if opts.pitch:
         n_feats += 3
+    if opts.splice:
+        n_feats *= 2 * opts.splice + 1
     stats = cmvn_lib.Stats(np.float64(0.0), np.zeros(n_feats, np.float64),
                            np.zeros(n_feats, np.float64))
     if man is not None and man.cmvn is not None:
@@ -436,6 +448,10 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
                                      pw.shape[0] - 1)
                     pw = pw[idx]
                 want = np.concatenate([want, pw], axis=-1)
+            if opts.cmvn_sliding:
+                want = oracle.sliding_cmvn(want, opts.cmvn_sliding)
+            if opts.splice:
+                want = oracle.splice(want, opts.splice, opts.splice)
             got = feat_np[i, : flens_np[i]]
             if cfg.cmvn:
                 return  # features are pre-normalization here; skip
