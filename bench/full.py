@@ -104,6 +104,23 @@ def main():
         "max_abs_error_vs_oracle_80db_floor": float(
             np.abs(got3f - want3f).max())}
 
+    # pitch family (r2): 3-dim NCCF+Viterbi features on the same ragged
+    # batch.  Per-dispatch protocol like the rest of this matrix — the
+    # Viterbi lax.scan serializes T steps inside one dispatch, so unlike
+    # the GEMM pipelines this number is NOT dispatch-floored.
+    from mfcc_tpu.config import PitchConfig
+    from mfcc_tpu.models import pitch as pitch_model
+    pcfg = PitchConfig().validate()
+    dtp = timed(lambda: pitch_model.pitch_batch_jit(ad, ld, pcfg)[0])
+    fp, lp, _ = pitch_model.pitch_batch_jit(ad, ld, pcfg)
+    gotp = np.asarray(fp[i0])[: int(lp[i0])]
+    wantp = oracle.pitch(audio[i0][: lengths[i0]].astype(np.float64), pcfg)
+    results["pitch_3dim"] = {
+        "audio_sec_per_s": audio_sec_total / dtp,
+        "wall_s_per_batch": dtp,
+        "max_abs_error_vs_oracle": float(
+            np.abs(gotp - wantp[: gotp.shape[0]]).max())}
+
     # config 4: streaming (chunk = 64 frames = 640 ms)
     chunk_frames = 8 if args.small else 64
     C = chunk_frames * cfg.hop_len
