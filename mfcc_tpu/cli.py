@@ -31,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "xla", "pallas"],
                    help="execution backend (see mfcc_tpu/backend.py)")
     p.add_argument("--format", default="npy",
-                   choices=["npy", "ark", "tfrecord"],
+                   choices=["npy", "ark", "htk", "tfrecord"],
                    help=".npy per utterance, Kaldi .ark/.scp, or TFRecord")
     p.add_argument("--resample", action="store_true",
                    help="convert foreign-rate WAVs to --sample-rate "

@@ -26,8 +26,9 @@ from . import oracle
 from .config import FeatureConfig
 from .models import mfcc as mfcc_model, logmel as logmel_model
 from .parallel import cmvn as cmvn_lib, dist, mesh as mesh_lib
-from .utils import (batch as batch_lib, kaldi as kaldi_lib,
-                    manifest as manifest_lib, report, wav)
+from .utils import (batch as batch_lib, htk as htk_lib,
+                    kaldi as kaldi_lib, manifest as manifest_lib,
+                    report, wav)
 
 
 class NpyWriter:
@@ -50,6 +51,33 @@ class NpyWriter:
                 # f64 stats, f32 output contract (same as ark/tfrecord)
                 np.save(fp, ((np.load(fp) - mean) * inv_std)
                         .astype(np.float32))
+
+
+class HTKWriter:
+    """One .htk per utterance (HTK parameter files, utils/htk.py).
+    Same durability model as NpyWriter: file-per-utterance, written
+    before the manifest marks it, so resume is exact by construction."""
+
+    def __init__(self, out_dir: str, frame_period_s: float):
+        self.out_dir = out_dir
+        self.period = frame_period_s
+
+    def _path(self, uid: str) -> str:
+        base = os.path.splitext(os.path.basename(uid))[0]
+        return os.path.join(self.out_dir, base + ".htk")
+
+    def write(self, uid: str, feat: np.ndarray):
+        htk_lib.write_htk(self._path(uid), feat, self.period)
+
+    def finish(self):
+        pass
+
+    def apply_cmvn(self, uids, mean, inv_std):
+        for uid in uids:
+            fp = self._path(uid)
+            if os.path.exists(fp):
+                feat, period, kind = htk_lib.read_htk(fp)
+                htk_lib.write_htk(fp, (feat - mean) * inv_std, period, kind)
 
 
 class TFRecordWriter:
@@ -400,6 +428,7 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
     writer = {"npy": lambda: NpyWriter(opts.out_dir),
               "ark": lambda: ArkWriter(
                   opts.out_dir, jax.process_index(), opts.resume),
+              "htk": lambda: HTKWriter(opts.out_dir, cfg.hop_ms / 1000.0),
               "tfrecord": lambda: TFRecordWriter(
                   opts.out_dir, jax.process_index(),
                   opts.resume)}[opts.out_format]()

@@ -153,3 +153,19 @@ def test_cli_data_parallel_8_devices(tmp_path, rng):
         feat = np.load(out / f"{name}.npy")
         want = oracle.mfcc(sig.astype(np.float64), cfg)
         np.testing.assert_allclose(feat, want, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_cli_htk_format(tmp_path, rng):
+    d, sigs = _mk_corpus(tmp_path, rng, n=2)
+    out = tmp_path / "feats"
+    r = _run_cli([str(d), "-o", str(out), "--format", "htk"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    from mfcc_tpu.utils import htk
+    cfg = FeatureConfig()
+    for name, sig in sigs.items():
+        feat, period, kind = htk.read_htk(str(out / f"{name}.htk"))
+        assert abs(period - 0.010) < 1e-9
+        assert kind == htk.PARM_USER
+        want = oracle.mfcc(sig.astype(np.float64), cfg)
+        np.testing.assert_allclose(feat, want, atol=1e-4)

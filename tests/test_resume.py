@@ -16,7 +16,8 @@ import numpy as np
 import pytest
 
 from mfcc_tpu import FeatureConfig, runner
-from mfcc_tpu.utils import kaldi, manifest as manifest_lib, tfrecord, wav
+from mfcc_tpu.utils import (htk, kaldi, manifest as manifest_lib, tfrecord,
+                            wav)
 
 
 class _Boom(RuntimeError):
@@ -39,6 +40,9 @@ def _read_outputs(out_dir: str, fmt: str) -> dict[str, np.ndarray]:
                 for f in os.listdir(out_dir) if f.endswith(".npy")}
     if fmt == "ark":
         return kaldi.read_scp(os.path.join(out_dir, "features.0.scp"))
+    if fmt == "htk":
+        return {f[:-4]: htk.read_htk(os.path.join(out_dir, f))[0]
+                for f in os.listdir(out_dir) if f.endswith(".htk")}
     return tfrecord.read_tfrecord(
         os.path.join(out_dir, "features.0.tfrecord"))
 
@@ -59,11 +63,11 @@ def _interrupt_after(monkeypatch, cls, k: int):
 
 
 _WRITERS = {"npy": runner.NpyWriter, "ark": runner.ArkWriter,
-            "tfrecord": runner.TFRecordWriter}
+            "htk": runner.HTKWriter, "tfrecord": runner.TFRecordWriter}
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("fmt", ["npy", "ark", "tfrecord"])
+@pytest.mark.parametrize("fmt", ["npy", "ark", "htk", "tfrecord"])
 @pytest.mark.parametrize("cmvn", [False, True])
 def test_interrupt_resume_equals_uninterrupted(tmp_path, rng, monkeypatch,
                                                fmt, cmvn):
