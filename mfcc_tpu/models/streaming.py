@@ -57,14 +57,21 @@ def _num_frames_dyn(n_samples: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
 
 
 def process_chunk(state: StreamState, chunk: jnp.ndarray,
-                  cfg: FeatureConfig):
+                  cfg: FeatureConfig, variant: str = "mfcc"):
     """One streaming step.
 
     chunk: (chunk_frames * hop_len,) new samples (static length).
-    Returns (new_state, feats (chunk_frames, n_mfcc), n_valid ()).
+    Returns (new_state, feats (chunk_frames, n_out), n_valid ()).
     Slot j holds global frame ``state.frames_done + j``; slots with
     j >= n_valid are zeroed.
+
+    variant: "mfcc" (default), "logmel" (DCT skipped; n_out = n_mels),
+    or "plp" (bark + LPC cepstra) — every frame-local pipeline streams
+    through the same carry state, each matching its batch model's
+    prefix (tests/test_streaming.py).
     """
+    if variant not in ("mfcc", "logmel", "plp"):
+        raise ValueError(f"unknown streaming variant {variant!r}")
     fl, hop = cfg.frame_len, cfg.hop_len
     C = chunk.shape[0]
     if C % hop != 0:
@@ -97,9 +104,14 @@ def process_chunk(state: StreamState, chunk: jnp.ndarray,
         frames = frames - jnp.asarray(cfg.preemph, buf.dtype) * prev
 
     power = spectrum.power_spectrum(frames, cfg)
-    logmel = mel.log_mel_energies(power, cfg)
-    feat = dct.cepstra(logmel, cfg)
-    if cfg.append_energy:
+    if variant == "plp":
+        from ..ops import plp as plp_ops
+        feat = plp_ops.plp_from_power_split(power[..., :-1],
+                                            power[..., -1:], cfg)
+    else:
+        logmel = mel.log_mel_energies(power, cfg)
+        feat = logmel if variant == "logmel" else dct.cepstra(logmel, cfg)
+    if cfg.append_energy and variant != "logmel":
         feat = feat.at[..., 0].set(framing.log_energy(frames, cfg))
 
     new_seen = state.samples_seen + C
@@ -115,10 +127,10 @@ def process_chunk(state: StreamState, chunk: jnp.ndarray,
     return new_state, feat, n_valid
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "variant"))
 def process_chunk_jit(state: StreamState, chunk: jnp.ndarray,
-                      cfg: FeatureConfig):
-    return process_chunk(state, chunk, cfg)
+                      cfg: FeatureConfig, variant: str = "mfcc"):
+    return process_chunk(state, chunk, cfg, variant)
 
 
 def init_state_batch(n_streams: int, cfg: FeatureConfig,
@@ -131,9 +143,9 @@ def init_state_batch(n_streams: int, cfg: FeatureConfig,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "variant"))
 def process_chunk_batch_jit(state: StreamState, chunks: jnp.ndarray,
-                            cfg: FeatureConfig):
+                            cfg: FeatureConfig, variant: str = "mfcc"):
     """Serving path: advance B concurrent streams with one device call.
 
     chunks: (B, chunk_frames*hop).  Single-stream streaming is dispatch-
@@ -141,12 +153,13 @@ def process_chunk_batch_jit(state: StreamState, chunks: jnp.ndarray,
     many sessions, so the per-call cost amortizes across streams via vmap.
     Returns (state', feats (B, chunk_frames, n_mfcc), n_valid (B,)).
     """
-    return jax.vmap(partial(process_chunk, cfg=cfg))(state, chunks)
+    return jax.vmap(partial(process_chunk, cfg=cfg,
+                            variant=variant))(state, chunks)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "variant"))
 def process_chunks_jit(state: StreamState, chunks: jnp.ndarray,
-                       cfg: FeatureConfig):
+                       cfg: FeatureConfig, variant: str = "mfcc"):
     """Dispatch-amortized serving: advance ONE stream by K chunks in one
     device call (lax.scan stays resident on-chip).
 
@@ -160,25 +173,26 @@ def process_chunks_jit(state: StreamState, chunks: jnp.ndarray,
     (tests/test_streaming.py).
     """
     def step(st, ch):
-        st, feat, nv = process_chunk(st, ch, cfg)
+        st, feat, nv = process_chunk(st, ch, cfg, variant)
         return st, (feat, nv)
 
     final, (feats, nvs) = jax.lax.scan(step, state, chunks)
     return final, feats, nvs
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "variant"))
 def process_chunks_batch_jit(state: StreamState, chunks: jnp.ndarray,
-                             cfg: FeatureConfig):
+                             cfg: FeatureConfig, variant: str = "mfcc"):
     """B concurrent sessions x K chunks per dispatch: vmap over sessions
     of the on-device scan.  chunks: (B, K, chunk_frames*hop).  Returns
     (state', feats (B, K, chunk_frames, n_mfcc), n_valid (B, K))."""
-    return jax.vmap(partial(process_chunks_jit, cfg=cfg))(state, chunks)
+    return jax.vmap(partial(process_chunks_jit, cfg=cfg,
+                            variant=variant))(state, chunks)
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk_frames"))
+@partial(jax.jit, static_argnames=("cfg", "chunk_frames", "variant"))
 def stream_signal(x: jnp.ndarray, cfg: FeatureConfig,
-                  chunk_frames: int = 64):
+                  chunk_frames: int = 64, variant: str = "mfcc"):
     """Whole-signal streaming via lax.scan (reference/testing path).
 
     x length must be a multiple of chunk_frames*hop; returns
@@ -189,7 +203,7 @@ def stream_signal(x: jnp.ndarray, cfg: FeatureConfig,
     chunks = x[: n_chunks * C].reshape(n_chunks, C)
 
     def step(st, ch):
-        st, feat, nv = process_chunk(st, ch, cfg)
+        st, feat, nv = process_chunk(st, ch, cfg, variant)
         return st, feat
 
     final, feats = jax.lax.scan(step, init_state(cfg, x.dtype), chunks)

@@ -194,3 +194,52 @@ def test_multichunk_multisession_dispatch(speechlike):
         # vmapped GEMMs batch/reassociate differently: f32 noise, not bits
         np.testing.assert_allclose(np.asarray(feats[b]), np.asarray(f1),
                                    atol=1e-5)
+
+
+def test_streaming_logmel_matches_batch(rng):
+    """variant='logmel' streams the DCT-skipped pipeline bit-consistently
+    with the batch log-mel model's prefix."""
+    from mfcc_tpu.models import logmel as logmel_model
+    cfg = FeatureConfig(n_mels=40, n_mfcc=40).validate()
+    x = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+    C = 32 * cfg.hop_len
+    xs = x[: (x.size // C) * C]
+    st = streaming.init_state(cfg)
+    rows = []
+    for i in range(xs.size // C):
+        st, feat, nv = streaming.process_chunk_jit(
+            st, jnp.asarray(xs[i * C: (i + 1) * C]), cfg, "logmel")
+        rows.append(np.asarray(feat)[: int(nv)])
+    got = np.concatenate(rows)
+    want, flens, _ = logmel_model.log_mel_batch_jit(
+        jnp.asarray(xs)[None], jnp.asarray([xs.size], np.int32), cfg)
+    np.testing.assert_allclose(got, np.asarray(want)[0, : got.shape[0]],
+                               atol=1e-5)
+
+
+def test_streaming_plp_matches_batch(rng):
+    """variant='plp' streams bark+LPC cepstra matching the batch PLP
+    model's prefix."""
+    from mfcc_tpu.models import plp as plp_model
+    cfg = FeatureConfig().validate()
+    x = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+    C = 32 * cfg.hop_len
+    xs = x[: (x.size // C) * C]
+    st = streaming.init_state(cfg)
+    rows = []
+    for i in range(xs.size // C):
+        st, feat, nv = streaming.process_chunk_jit(
+            st, jnp.asarray(xs[i * C: (i + 1) * C]), cfg, "plp")
+        rows.append(np.asarray(feat)[: int(nv)])
+    got = np.concatenate(rows)
+    want, flens, _ = plp_model.plp_batch_jit(
+        jnp.asarray(xs)[None], jnp.asarray([xs.size], np.int32), cfg)
+    np.testing.assert_allclose(got, np.asarray(want)[0, : got.shape[0]],
+                               atol=2e-5)
+
+
+def test_streaming_bad_variant():
+    cfg = FeatureConfig()
+    st = streaming.init_state(cfg)
+    with pytest.raises(ValueError):
+        streaming.process_chunk(st, jnp.zeros((cfg.hop_len,)), cfg, "nope")
