@@ -5,9 +5,10 @@
 - :mod:`spectrogram` — linear power/log spectrogram variant
 - :mod:`plp`       — perceptual linear prediction (bark + LPC cepstra)
 - :mod:`pitch`     — NCCF + Viterbi pitch tracker (Kaldi-style features)
+- :mod:`pitch_online` — bounded-latency streaming pitch (delayed Viterbi)
 - :mod:`streaming` — chunked low-latency STFT with overlap carry state
 - :mod:`trainable` — learnable filterbank front-end (training-step demo)
 """
 
-from . import (mfcc, logmel, spectrogram, plp, pitch, streaming,  # noqa: F401
-               trainable)
+from . import (mfcc, logmel, spectrogram, plp, pitch,  # noqa: F401
+               pitch_online, streaming, trainable)

@@ -151,3 +151,76 @@ def resample(x: jnp.ndarray, sr_in: int, sr_out: int, *,
 
 resample_jit = jax.jit(resample, static_argnames=("sr_in", "sr_out",
                                                   "precision"))
+
+
+class StreamingResampler:
+    """Host-side chunked twin of :func:`resample_poly_numpy`.
+
+    Emits exactly the batch resampler's output prefix as raw samples
+    arrive: output block b (L samples) needs raw samples
+    [b*M + lo, b*M + lo + W), so a block is emitted once its full input
+    window has been seen; :meth:`flush` zero-pads the tail (the batch
+    edge convention) and emits the remainder so that the concatenation
+    of every chunk equals ``resample_poly_numpy(whole_signal)`` to f64
+    roundoff (~1e-16; BLAS blocking order differs with the emitted block
+    count — tests/test_resample.py).  Used by the online pitch tracker;
+    pure NumPy (feature-rate signals are tiny next to decode).
+    """
+
+    def __init__(self, sr_in: int, sr_out: int):
+        if sr_in == sr_out:
+            raise ValueError("no-op resampler; stream the samples directly")
+        self.L, self.M = reduce_ratio(sr_in, sr_out)
+        self.H, lo = _polyphase_matrix(self.L, self.M)
+        self.W = self.H.shape[0]
+        self.pad_l = max(0, -lo)
+        self.start0 = lo + self.pad_l       # first frame offset into xp
+        # xp = [pad_l zeros | raw]; keep only the suffix still needed
+        self._buf = np.zeros((self.pad_l,), np.float64)
+        self._buf_start = 0                 # xp index of _buf[0]
+        self._n_raw = 0                     # raw samples received
+        self._blocks_done = 0
+        self._flushed = False
+
+    def feed(self, chunk: np.ndarray) -> np.ndarray:
+        """Raw samples in -> every newly complete output sample out."""
+        assert not self._flushed, "feed after flush"
+        self._buf = np.concatenate(
+            [self._buf, np.asarray(chunk, np.float64)])
+        self._n_raw += len(chunk)
+        xp_len = self.pad_l + self._n_raw
+        # blocks b with b*M + start0 + W <= xp_len are complete
+        nb_ready = max((xp_len - self.start0 - self.W) // self.M + 1, 0)
+        return self._emit(nb_ready)
+
+    def flush(self) -> np.ndarray:
+        """Zero-pad the tail and emit the remaining output samples so the
+        total output length is ceil(n_raw * L / M) (batch convention)."""
+        assert not self._flushed
+        self._flushed = True
+        n_out, nb, _pad_l, start0, need = _frame_geometry(
+            self._n_raw, self.L, self.M, self.W, self.start0 - self.pad_l)
+        xp_len = self.pad_l + self._n_raw
+        self._buf = np.concatenate(
+            [self._buf, np.zeros((max(0, need + self.pad_l - xp_len),))])
+        return self._emit(nb)  # exact-length trim happens in _emit
+
+    def _emit(self, nb_ready: int) -> np.ndarray:
+        bs = np.arange(self._blocks_done, nb_ready)
+        if bs.size == 0:
+            return np.zeros((0,), np.float64)
+        idx = (bs * self.M + self.start0 - self._buf_start)[:, None] \
+            + np.arange(self.W)[None, :]
+        y = (self._buf[idx] @ self.H).reshape(-1)
+        self._blocks_done = nb_ready
+        # trim the final partial block to the exact output length
+        if self._flushed:
+            n_out = -(-self._n_raw * self.L // self.M)
+            y = y[: n_out - (bs[0] * self.L)]
+        # drop buffer prefix no longer reachable by future blocks
+        keep_from = nb_ready * self.M + min(self.start0, 0)
+        drop = max(keep_from - self._buf_start, 0)
+        drop = min(drop, self._buf.shape[0])
+        self._buf = self._buf[drop:]
+        self._buf_start += drop
+        return y

@@ -117,3 +117,30 @@ def test_runner_resamples_foreign_rate(tmp_path, rng):
     assert rep2.n_utterances == 1
     assert (out2 / "a16k.npy").exists()
     assert not (out2 / "b48k.npy").exists()
+
+
+def test_streaming_resampler_matches_batch(rng):
+    """StreamingResampler chunk concatenation == resample_poly_numpy to
+    f64 roundoff, for down/up/rational ratios and odd chunk sizes."""
+    from mfcc_tpu.ops.resample import StreamingResampler, resample_poly_numpy
+    for sr_in, sr_out, n in [(16000, 4000, 32000), (16000, 2000, 16013),
+                             (44100, 16000, 20000), (8000, 16000, 8005)]:
+        x = rng.standard_normal(n)
+        want = resample_poly_numpy(x, sr_in, sr_out)
+        for chunk in (160, 1001, 7):
+            sr = StreamingResampler(sr_in, sr_out)
+            outs, i = [], 0
+            while i < n:
+                outs.append(sr.feed(x[i: i + chunk]))
+                i += chunk
+            outs.append(sr.flush())
+            got = np.concatenate(outs)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, atol=1e-13)
+
+
+def test_streaming_resampler_rejects_noop():
+    from mfcc_tpu.ops.resample import StreamingResampler
+    import pytest
+    with pytest.raises(ValueError):
+        StreamingResampler(16000, 16000)
