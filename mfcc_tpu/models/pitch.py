@@ -7,7 +7,8 @@ static shapes, padded frames computed-then-masked.  Stage math lives in
 ops/pitch.py; the float64 trust root is oracle.pitch.  Pitch frames use
 "valid" framing at the work rate over the frame+max_lag NCCF span, so a
 pitch track has ~2 fewer frames than the 25/10 ms MFCC track of the same
-signal; utils/combine.append_pitch aligns them by edge replication.
+signal; :func:`align_pitch` (below; used by runner --pitch) aligns them
+by edge replication.
 """
 
 from __future__ import annotations

@@ -101,7 +101,7 @@ def online_chunk_step(state: OnlineChunkState, buf: jnp.ndarray,
     """Score one chunk of up to `n_frames` frames (tail chunks pass
     n_valid < n_frames; invalid frames leave every statistic and the
     Viterbi cost untouched).  Returns (state', backptrs (F, n_lags) i32,
-    nccf_p (F, n_lags), path_provisional unused-free)."""
+    nccf_plain (F, n_lags))."""
     prec = jax.lax.Precision.HIGHEST
     valid = (jnp.arange(n_frames) < n_valid)
 
@@ -158,12 +158,16 @@ class OnlinePitch:
         self.hop = pcfg.hop_len_w
         self._work = np.zeros((0,), np.float64)   # unconsumed work samples
         self._state = init_chunk_state(pcfg)
+        # ring buffers: entries behind the finalization point are pruned
+        # (a multi-hour stream must not grow host memory — review r2)
         self._back: list[np.ndarray] = []         # per-frame backptrs
         self._nccf: list[np.ndarray] = []         # per-frame plain NCCF
+        self._tbase = 0                           # global frame of _back[0]
         self._scored = 0                          # frames scored
         self._done = 0                            # frames finalized
-        self._logf0: list[float] = []             # finalized log-f0
+        self._logf0: list[float] = []             # finalized log-f0 tail
         self._wgt: list[float] = []               # finalized POV^2 weights
+        self._vbase = 0                           # global frame of _logf0[0]
         self._flushed = False
 
     # ------------------------------------------------------------------
@@ -224,7 +228,7 @@ class OnlinePitch:
         s = int(np.argmin(np.asarray(self._state.cost)))
         path = {path_end: s}
         for t in range(path_end, self._done, -1):
-            s = int(self._back[t][s])
+            s = int(self._back[t - self._tbase][s])
             path[t - 1] = s
         pcfg = self.pcfg
         lag_of = {}
@@ -233,7 +237,7 @@ class OnlinePitch:
             if t in lag_of:
                 return lag_of[t]
             p = path[t]
-            d = oracle._parabolic_lag(self._nccf[t], p)
+            d = oracle._parabolic_lag(self._nccf[t - self._tbase], p)
             v = float(np.log(pcfg.work_rate / (pcfg.min_lag + p + d)))
             lag_of[t] = v
             return v
@@ -241,7 +245,7 @@ class OnlinePitch:
         rows = []
         W = pcfg.norm_window
         for t in range(self._done, upto):
-            c = float(self._nccf[t][path[t]])
+            c = float(self._nccf[t - self._tbase][path[t]])
             lf = log_f0(t)
             wv = min(max(c, 0.0), 1.0) ** 2
             self._logf0.append(lf)
@@ -254,7 +258,8 @@ class OnlinePitch:
                          else lf)
             # delta over the (possibly provisional) path, edges replicated
             def value(u):
-                return (self._logf0[u] if u < self._done else log_f0(u))
+                return (self._logf0[u - self._vbase] if u < self._done
+                        else log_f0(u))
 
             D = pcfg.delta_window
             denom = 2.0 * sum(k * k for k in range(1, D + 1))
@@ -265,6 +270,19 @@ class OnlinePitch:
                                - 1.0))
             rows.append((pov, norm, d))
         self._done = upto
+        # prune: backtrace/nccf entries behind `done` and log-f0 history
+        # beyond the normalization + delta windows are dead
+        tdrop = self._done - self._tbase
+        if tdrop > 0:
+            del self._back[:tdrop]
+            del self._nccf[:tdrop]
+            self._tbase = self._done
+        keep = pcfg.norm_window + pcfg.delta_window
+        vdrop = len(self._logf0) - keep
+        if vdrop > 0:
+            del self._logf0[:vdrop]
+            del self._wgt[:vdrop]
+            self._vbase += vdrop
         return np.asarray(rows, np.float32)
 
 

@@ -296,17 +296,40 @@ def _base_feature_fn(opts):
     return mfcc_model.mfcc_batch
 
 
+def _base_jit(opts):
+    """The module-level jit wrappers (one compile cache per process)."""
+    if opts.logmel:
+        return logmel_model.log_mel_batch_jit
+    if opts.plp:
+        from .models import plp as plp_model
+        return plp_model.plp_batch_jit
+    return mfcc_model.mfcc_batch_jit
+
+
+def _pitch_config(cfg):
+    """PitchConfig derived from the main FeatureConfig: SAME frame/hop
+    (align_pitch pastes pitch frame t onto main frame t, which is only
+    correct when the tracks share the hop) and a work rate capped at
+    the input rate (review r2: hard-coded 25/10 ms + 4 kHz silently
+    misaligned --hop-ms runs and crashed --sample-rate < 4000)."""
+    from .config import PitchConfig
+    return PitchConfig(sample_rate=cfg.sample_rate,
+                       frame_ms=cfg.frame_ms, hop_ms=cfg.hop_ms,
+                       work_rate=min(4000, cfg.sample_rate)).validate()
+
+
 def _feature_fn(opts):
-    base = _base_feature_fn(opts)
     if not (opts.pitch or opts.cmvn_sliding or opts.splice):
-        return jax.jit(base, static_argnames=("cfg", "backend"))
+        # the module-level jits: every run() in a process shares one
+        # compile cache (a fresh jax.jit wrapper per call re-traces)
+        return _base_jit(opts)
+    base = _base_feature_fn(opts)
 
     def wrapped(a, l, cfg, backend="auto"):
         feat, flens, mask = base(a, l, cfg, backend)
         if opts.pitch:
             from .models import pitch as pitch_model
-            from .config import PitchConfig
-            pcfg = PitchConfig(sample_rate=cfg.sample_rate).validate()
+            pcfg = _pitch_config(cfg)
             pf, pl, _ = pitch_model.pitch_batch(a, l, pcfg)
             pf = pitch_model.align_pitch(pf, pl, feat.shape[1])
             pf = jnp.where(mask[..., None], pf, 0.0)
@@ -467,9 +490,8 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
                       else oracle.plp if opts.plp else oracle.mfcc)
             want = ref_fn(x[: lengths[i]].astype(np.float64), cfg)
             if opts.pitch:
-                from .config import PitchConfig
-                pcfg = PitchConfig(sample_rate=cfg.sample_rate).validate()
-                pw = oracle.pitch(x[: lengths[i]].astype(np.float64), pcfg)
+                pw = oracle.pitch(x[: lengths[i]].astype(np.float64),
+                                  _pitch_config(cfg))
                 if pw.shape[0] == 0:
                     pw = np.zeros((want.shape[0], 3))
                 else:  # edge-replicate to the main track (align_pitch twin)

@@ -98,6 +98,32 @@ def test_full_delay_path_equals_batch_viterbi(rng):
     assert got[T // 2 + 4: T - 2, 0].mean() > -0.2
 
 
+def test_host_buffers_stay_bounded(rng):
+    """Ring-buffer pruning: a long-lived stream must not grow host
+    memory (review r2 finding)."""
+    op = OnlinePitch(PCFG, delay=50, chunk_frames=16)
+    for _ in range(20):                       # 20 s of audio
+        op.feed((0.1 * rng.standard_normal(SR)).astype(np.float32))
+    assert len(op._back) <= 50 + 16 + 4       # delay + one chunk
+    assert len(op._nccf) == len(op._back)
+    assert len(op._logf0) <= PCFG.norm_window + PCFG.delta_window + 16
+
+
+def test_runner_pitch_config_derives_from_cfg():
+    """--pitch must share the main pipeline's frame/hop (review r2:
+    hard-coded 25/10 ms misaligned --hop-ms runs) and cap work_rate at
+    the input rate (--sample-rate 2000 used to crash validate())."""
+    from mfcc_tpu.runner import _pitch_config
+    from mfcc_tpu import FeatureConfig
+    cfg = FeatureConfig(hop_ms=20.0, frame_ms=30.0)
+    p = _pitch_config(cfg)
+    assert p.hop_ms == 20.0 and p.frame_ms == 30.0
+    assert p.work_rate == 4000
+    cfg2 = FeatureConfig(sample_rate=2000, n_fft=64, n_mels=8, n_mfcc=4)
+    p2 = _pitch_config(cfg2)
+    assert p2.work_rate == 2000 and p2.sample_rate == 2000
+
+
 def test_short_and_empty_stream():
     op = OnlinePitch(PCFG)
     assert op.feed(np.zeros(100, np.float32)).shape == (0, 3)
