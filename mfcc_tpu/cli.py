@@ -51,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--fmax", type=float, default=None)
     f.add_argument("--mel-scale", default="htk", choices=["htk", "slaney"])
     f.add_argument("--lifter", type=int, default=0)
+    f.add_argument("--vtln-warp", type=float, default=1.0,
+                   help="VTLN warp factor (piecewise-linear warp of the "
+                        "mel filter edges; 1.0 = off)")
+    f.add_argument("--vtln-low", type=float, default=100.0,
+                   help="VTLN lower knee frequency (Hz)")
+    f.add_argument("--vtln-high", type=float, default=-500.0,
+                   help="VTLN upper knee frequency (Hz; negative = "
+                        "offset below fmax)")
     f.add_argument("--dither", type=float, default=0.0,
                    help="seeded waveform dither RMS in [-1,1] units "
                         "(Kaldi's 1-LSB default = 1/32768 ~= 3.05e-5)")
@@ -94,6 +102,7 @@ def config_from_args(a) -> FeatureConfig:
         n_fft=a.n_fft, window=a.window, preemph=a.preemph,
         n_mels=n_mels, n_mfcc=n_mfcc, fmin=a.fmin, fmax=a.fmax,
         mel_scale=a.mel_scale, lifter=a.lifter,
+        vtln_warp=a.vtln_warp, vtln_low=a.vtln_low, vtln_high=a.vtln_high,
         dither=a.dither, dither_seed=a.dither_seed,
         dft_algorithm=a.dft_algorithm,
         n_bark=a.n_bark, lpc_order=a.lpc_order,

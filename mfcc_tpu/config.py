@@ -54,6 +54,17 @@ class FeatureConfig:
     fmin: float = 0.0
     fmax: Optional[float] = None   # None -> Nyquist
     mel_scale: str = "htk"
+    # Vocal-tract-length normalization: piecewise-linear frequency warp
+    # applied to the mel filter edge frequencies (oracle.vtln_warp_freq;
+    # standard Kaldi-convention warp — identity in [fmin, vtln_low*max(1,a)]
+    # -> scaled by 1/a in the mid band -> identity again at fmax).  1.0
+    # disables.  vtln_high < 0 means "offset from fmax" (so the default
+    # -500 tracks the Nyquist).  Warping only reshapes the constant
+    # filterbank matrix, so every backend (XLA, Pallas kernels, streaming)
+    # inherits it with zero device-side cost.
+    vtln_warp: float = 1.0
+    vtln_low: float = 100.0
+    vtln_high: float = -500.0
     # --- cepstral --------------------------------------------------------
     n_mfcc: int = 13
     log_floor: float = 1e-10       # absolute floor inside log(max(E, floor))
@@ -129,6 +140,12 @@ class FeatureConfig:
         return self.sample_rate / 2.0 if self.fmax is None else float(self.fmax)
 
     @property
+    def vtln_high_hz(self) -> float:
+        """vtln_high resolved to Hz (negative = offset below fmax)."""
+        return (self.fmax_hz + self.vtln_high if self.vtln_high < 0.0
+                else self.vtln_high)
+
+    @property
     def n_feats(self) -> int:
         """Final feature dimension (after optional deltas)."""
         base = self.n_mfcc
@@ -183,6 +200,17 @@ class FeatureConfig:
             raise ValueError("dither must be >= 0")
         if self.fmax is not None and self.fmax <= self.fmin:
             raise ValueError("fmax must be > fmin")
+        if self.vtln_warp <= 0.0:
+            raise ValueError("vtln_warp must be > 0")
+        if self.vtln_warp != 1.0:
+            l = self.vtln_low * max(1.0, self.vtln_warp)
+            h = self.vtln_high_hz * min(1.0, self.vtln_warp)
+            if not (self.fmin < l < h < self.fmax_hz):
+                raise ValueError(
+                    "VTLN needs fmin < vtln_low*max(1,warp) < "
+                    "vtln_high*min(1,warp) < fmax "
+                    f"(got fmin={self.fmin}, l={l}, h={h}, "
+                    f"fmax={self.fmax_hz})")
         if self.n_bark < 2:
             raise ValueError("n_bark must be >= 2")
         if not (1 <= self.lpc_order < self.n_bark + 2):

@@ -81,12 +81,47 @@ def mel_to_hz(m, scale: str = "htk"):
     raise ValueError(f"unknown mel scale {scale!r}")
 
 
+def vtln_warp_freq(f, cfg: FeatureConfig) -> np.ndarray:
+    """Piecewise-linear VTLN frequency warp W(f), float64.
+
+    Standard three-segment warp (the Kaldi/HTK convention, implemented
+    from the definition): with warp factor a, inverse scale s = 1/a, and
+    knees l = vtln_low * max(1, a), h = vtln_high_hz * min(1, a),
+
+        W(f) = fmin + (s*l - fmin)/(l - fmin) * (f - fmin)   fmin <= f < l
+        W(f) = s * f                                          l   <= f <= h
+        W(f) = fmax + (fmax - s*h)/(fmax - h) * (f - fmax)    h   <  f <= fmax
+
+    Continuous by construction, fixes the band edges (W(fmin) = fmin,
+    W(fmax) = fmax), and scales the vocal-tract band by 1/a in between.
+    Frequencies outside [fmin, fmax] pass through unchanged.
+    """
+    f = np.asarray(f, np.float64)
+    a = cfg.vtln_warp
+    if a == 1.0:
+        return f
+    lo, hi = cfg.fmin, cfg.fmax_hz
+    l = cfg.vtln_low * max(1.0, a)
+    h = cfg.vtln_high_hz * min(1.0, a)
+    s = 1.0 / a
+    scale_left = (s * l - lo) / (l - lo)
+    scale_right = (hi - s * h) / (hi - h)
+    w = np.where(f < l, lo + scale_left * (f - lo),
+                 np.where(f <= h, s * f, hi + scale_right * (f - hi)))
+    return np.where((f < lo) | (f > hi), f, w)
+
+
 def mel_filterbank(cfg: FeatureConfig) -> np.ndarray:
     """(n_mels, n_bins) triangular filterbank, float64.
 
     Triangles are continuous in the mel domain evaluated at FFT-bin center
     frequencies (no HTK bin quantization): for filter m with mel edges
     (l, c, r), weight(f) = clip(min((mel(f)-l)/(c-l), (r-mel(f))/(r-c)), 0, 1).
+
+    VTLN (cfg.vtln_warp != 1) warps the filter edge frequencies through
+    vtln_warp_freq in the Hz domain before the triangles are built — the
+    bin frequencies stay fixed, so warping is purely a reshaping of this
+    constant matrix and costs nothing on device.
     """
     n_bins = cfg.n_bins
     bin_hz = np.arange(n_bins, dtype=np.float64) * cfg.sample_rate / cfg.n_fft
@@ -96,6 +131,10 @@ def mel_filterbank(cfg: FeatureConfig) -> np.ndarray:
         hz_to_mel(cfg.fmax_hz, cfg.mel_scale),
         cfg.n_mels + 2,
     )
+    if cfg.vtln_warp != 1.0:
+        edges = hz_to_mel(
+            vtln_warp_freq(mel_to_hz(edges, cfg.mel_scale), cfg),
+            cfg.mel_scale)
     lo, ctr, hi = edges[:-2], edges[1:-1], edges[2:]
     up = (bin_mel[None, :] - lo[:, None]) / (ctr - lo)[:, None]
     down = (hi[:, None] - bin_mel[None, :]) / (hi - ctr)[:, None]
