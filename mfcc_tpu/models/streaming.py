@@ -190,6 +190,71 @@ def process_chunks_batch_jit(state: StreamState, chunks: jnp.ndarray,
                             variant=variant))(state, chunks)
 
 
+class OnlineCmvnState(NamedTuple):
+    """Carry for causal online CMVN over a feature stream: the trailing
+    ``window - 1`` emitted frames (zeros before the stream starts) plus
+    the count of frames absorbed so far."""
+    buf: jnp.ndarray          # (window-1, F) trailing feature frames
+    frames_seen: jnp.ndarray  # () int32
+
+
+def init_online_cmvn(window: int, n_feats: int,
+                     dtype=jnp.float32) -> OnlineCmvnState:
+    return OnlineCmvnState(
+        buf=jnp.zeros((window - 1, n_feats), dtype),
+        frames_seen=jnp.zeros((), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("window", "normalize_variance"))
+def online_cmvn_step(state: OnlineCmvnState, feats: jnp.ndarray,
+                     n_valid: jnp.ndarray, window: int,
+                     normalize_variance: bool = False, prior=None):
+    """Normalize one chunk of streamed features causally (zero lookahead).
+
+    feats: (S, F) chunk slots as emitted by process_chunk (slots past
+    ``n_valid`` are zero and stay zero).  Slot j (global frame
+    g = frames_seen + j) is normalized by the stats of global frames
+    [max(0, g - window + 1), g] — exactly the batch-mode
+    ops/post.online_cmvn and the float64 oracle.online_cmvn
+    (tests/test_post.py pins chunk-size-invariant parity).  ``prior``:
+    optional (count, sum (F,), sumsq (F,)) stats blended while the
+    window is young.  Returns (new_state, normalized (S, F)).
+    """
+    from ..ops.post import _blend_prior
+    S, F = feats.shape
+    W = window
+    valid = (jnp.arange(S, dtype=jnp.int32) < n_valid)
+    fm = feats * valid[:, None].astype(feats.dtype)
+    buf = jnp.concatenate([state.buf, fm])          # (W-1+S, F)
+    # rows of buf are global frames [frames_seen-(W-1), frames_seen+S);
+    # slot j is row W-1+j, its causal window is rows [j, W-1+j] — a
+    # static size-W slice (pre-stream rows are zeros and are excluded
+    # from cnt below).
+    zero = jnp.zeros((1, F), buf.dtype)
+    cs = jnp.concatenate([zero, jnp.cumsum(buf, axis=0)])
+    j = jnp.arange(S)
+    sums = cs[W + j] - cs[j]                        # (S, F)
+    g = state.frames_seen + j
+    cnt = jnp.minimum(g + 1, W).astype(feats.dtype)
+    if normalize_variance:
+        cs2 = jnp.concatenate([zero, jnp.cumsum(buf * buf, axis=0)])
+        sq = cs2[W + j] - cs2[j]
+    else:
+        sq = None
+    cnt, sums, sq = _blend_prior(cnt, sums, sq, W, prior)
+    mean = sums / cnt[:, None]
+    out = feats - mean
+    if normalize_variance:
+        var = jnp.maximum(sq / cnt[:, None] - mean * mean, 1e-8)
+        out = out / jnp.sqrt(var)
+    out = out * valid[:, None].astype(out.dtype)
+    new_buf = jax.lax.dynamic_slice(
+        buf, (n_valid.astype(jnp.int32), jnp.int32(0)), (W - 1, F))
+    return OnlineCmvnState(buf=new_buf,
+                           frames_seen=state.frames_seen + n_valid), out
+
+
 @partial(jax.jit, static_argnames=("cfg", "chunk_frames", "variant"))
 def stream_signal(x: jnp.ndarray, cfg: FeatureConfig,
                   chunk_frames: int = 64, variant: str = "mfcc"):

@@ -65,6 +65,62 @@ def sliding_cmvn(feat: jnp.ndarray, flens: jnp.ndarray, window: int = 600,
     return out * mask[..., None]
 
 
+def online_cmvn(feat: jnp.ndarray, flens: jnp.ndarray, window: int = 600,
+                normalize_variance: bool = False,
+                prior=None) -> jnp.ndarray:
+    """(B, T, F) + (B,) frame counts -> CAUSAL online CMVN.
+
+    Frame t is normalized by the stats of frames
+    [max(0, t - window + 1), t] — trailing window including the current
+    frame, zero lookahead (Kaldi apply-cmvn-online semantics; the
+    batch-mode twin of models/streaming.online_cmvn_step, and the float64
+    contract is oracle.online_cmvn).  ``prior``: optional
+    (count (), sum (F,), sumsq (F,)) global stats blended with weight
+    min(prior_count, window - cnt) while the window is young.  Padded
+    frames never enter any window and stay zero on output.
+    """
+    B, T, F = feat.shape
+    mask = (jnp.arange(T, dtype=jnp.int32)[None, :]
+            < flens[:, None]).astype(feat.dtype)
+    fm = feat * mask[..., None]
+    zero = jnp.zeros_like(fm[:, :1])
+    cs = jnp.concatenate([zero, jnp.cumsum(fm, axis=1)], axis=1)
+    t = np.arange(T)
+    lo_s = np.maximum(t - window + 1, 0)[None, :]
+    hi_s = (t + 1)[None, :]
+    sums = cs[:, hi_s[0]] - cs[:, lo_s[0]]
+    fl = flens[:, None]
+    cnt = (jnp.minimum(hi_s, fl) - jnp.minimum(lo_s, fl)).astype(feat.dtype)
+    cnt = jnp.maximum(cnt, 1.0)
+    if normalize_variance:
+        cs2 = jnp.concatenate([zero, jnp.cumsum(fm * fm, axis=1)], axis=1)
+        sq = cs2[:, hi_s[0]] - cs2[:, lo_s[0]]
+    else:
+        sq = None
+    cnt, sums, sq = _blend_prior(cnt, sums, sq, window, prior)
+    mean = sums / cnt[..., None]
+    out = feat - mean
+    if normalize_variance:
+        var = jnp.maximum(sq / cnt[..., None] - mean * mean, 1e-8)
+        out = out / jnp.sqrt(var)
+    return out * mask[..., None]
+
+
+def _blend_prior(cnt, sums, sq, window, prior):
+    """Add min(prior_count, window - cnt) worth of the prior stats."""
+    if prior is None:
+        return cnt, sums, sq
+    pc, ps, pss = prior
+    pc = jnp.asarray(pc, cnt.dtype)
+    w = jnp.clip(jnp.asarray(window, cnt.dtype) - cnt, 0.0, pc)
+    scale = jnp.where(pc > 0.0, w / jnp.maximum(pc, 1e-30), 0.0)
+    cnt = cnt + w
+    sums = sums + scale[..., None] * jnp.asarray(ps)      # (F,) broadcasts
+    if sq is not None:
+        sq = sq + scale[..., None] * jnp.asarray(pss)
+    return cnt, sums, sq
+
+
 def splice(feat: jnp.ndarray, flens: jnp.ndarray, left: int = 3,
            right: int = 3) -> jnp.ndarray:
     """(B, T, F) -> (B, T, (left+1+right)*F) context splicing.

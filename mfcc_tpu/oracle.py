@@ -553,6 +553,43 @@ def sliding_cmvn(feat: np.ndarray, window: int = 600,
     return out
 
 
+def online_cmvn(feat: np.ndarray, window: int = 600,
+                normalize_variance: bool = False,
+                prior=None) -> np.ndarray:
+    """(T, F) CAUSAL online CMVN (Kaldi apply-cmvn-online semantics):
+    frame t is normalized by the statistics of frames
+    [max(0, t - window + 1), t] — the trailing window INCLUDING the
+    current frame, so the output is emittable with zero lookahead.
+
+    ``prior`` is an optional (count, sum (F,), sumsq (F,)) triple of
+    global/speaker statistics blended in while the causal window is
+    young: weight w = min(prior_count, window - cnt) of the prior is
+    added, so early frames are normalized by the prior and the influence
+    decays to zero once the window is full (ops/post.online_cmvn and
+    models/streaming.online_cmvn_step twins)."""
+    T, F = feat.shape
+    out = np.zeros_like(feat)
+    for t in range(T):
+        lo = max(0, t - window + 1)
+        seg = feat[lo: t + 1]
+        cnt = float(seg.shape[0])
+        s = seg.sum(axis=0)
+        sq = (seg * seg).sum(axis=0)
+        if prior is not None:
+            pc, ps, pss = prior
+            w = min(float(pc), max(0.0, window - cnt))
+            if pc > 0.0 and w > 0.0:
+                cnt += w
+                s = s + (w / pc) * np.asarray(ps)
+                sq = sq + (w / pc) * np.asarray(pss)
+        mean = s / cnt
+        out[t] = feat[t] - mean
+        if normalize_variance:
+            var = np.maximum(sq / cnt - mean * mean, 1e-8)
+            out[t] /= np.sqrt(var)
+    return out
+
+
 def splice(feat: np.ndarray, left: int = 3, right: int = 3) -> np.ndarray:
     """(T, F) -> (T, (left+1+right)*F) context splice, edge replication."""
     T = feat.shape[0]

@@ -132,3 +132,110 @@ def test_vad_detects_speech_segment(rng):
     T = int(flens[0])
     assert vad[5: T // 2 - 5].all()
     assert not vad[T // 2 + 5: T - 5].any()
+
+
+# ---------------------------------------------------------------------------
+# online (causal) CMVN — batch op, streaming step, oracle: one contract
+# ---------------------------------------------------------------------------
+
+def test_online_cmvn_matches_oracle(rng):
+    feat, flens = _ragged_feats(rng)
+    for window, nv in ((7, False), (20, True), (600, True)):
+        got = np.asarray(post.online_cmvn(
+            jnp.asarray(feat), jnp.asarray(flens), window,
+            normalize_variance=nv))
+        for b, n in enumerate(flens):
+            want = oracle.online_cmvn(feat[b, :n].astype(np.float64),
+                                      window, normalize_variance=nv)
+            np.testing.assert_allclose(got[b, :n], want, atol=2e-5)
+            assert not got[b, n:].any()
+
+
+def test_online_cmvn_is_causal(rng):
+    """Changing future frames must not change past outputs."""
+    feat, flens = _ragged_feats(rng, B=1, T=40)
+    got1 = np.asarray(post.online_cmvn(
+        jnp.asarray(feat), jnp.asarray([40], np.int32), 11))
+    feat2 = feat.copy()
+    feat2[0, 25:] += 100.0
+    got2 = np.asarray(post.online_cmvn(
+        jnp.asarray(feat2), jnp.asarray([40], np.int32), 11))
+    np.testing.assert_array_equal(got1[0, :25], got2[0, :25])
+    assert np.abs(got1[0, 25:] - got2[0, 25:]).max() > 1.0
+
+
+def test_online_cmvn_prior(rng):
+    """Prior stats dominate the first frames and decay to no effect once
+    the causal window is full."""
+    feat, _ = _ragged_feats(rng, B=1, T=60)
+    window = 12
+    pc = 100.0
+    ps = np.full((8,), 5.0 * pc, np.float32)          # prior mean 5.0
+    pss = (np.full((8,), 25.0, np.float32) + 4.0) * pc  # prior var 4.0
+    prior = (pc, ps, pss)
+    flens = jnp.asarray([60], jnp.int32)
+    got = np.asarray(post.online_cmvn(jnp.asarray(feat), flens, window,
+                                      prior=prior))
+    want = oracle.online_cmvn(feat[0].astype(np.float64), window,
+                              prior=(pc, ps.astype(np.float64),
+                                     pss.astype(np.float64)))
+    np.testing.assert_allclose(got[0], want, atol=2e-5)
+    # frame 0: window holds 1 frame + 11 prior frames -> prior-dominated
+    mean0 = (feat[0, 0] + 11.0 * 5.0) / 12.0
+    np.testing.assert_allclose(got[0, 0], feat[0, 0] - mean0, atol=1e-5)
+    # once g+1 >= window the prior weight is zero -> equals no-prior path
+    nopri = np.asarray(post.online_cmvn(jnp.asarray(feat), flens, window))
+    np.testing.assert_array_equal(got[0, window - 1:], nopri[0, window - 1:])
+
+
+def test_streaming_online_cmvn_matches_batch(rng):
+    """Carry-state streaming normalization == batch online_cmvn on the
+    same frames, invariant to how the stream is chunked (including
+    chunks with zero/partial validity)."""
+    from mfcc_tpu.models import streaming
+    T, F, window = 47, 13, 15
+    feat = (rng.standard_normal((T, F)) * 2 + 0.7).astype(np.float32)
+    want = np.asarray(post.online_cmvn(
+        jnp.asarray(feat)[None], jnp.asarray([T], jnp.int32), window,
+        normalize_variance=True))[0]
+    for S, valids in ((8, None), (5, [0, 3, 5, 5, 1, 5, 5, 5, 5, 5, 5, 5])):
+        st = streaming.init_online_cmvn(window, F)
+        got, done = [], 0
+        k = 0
+        while done < T:
+            nv = min(S if valids is None else valids[k], T - done)
+            k += 1
+            chunk = np.zeros((S, F), np.float32)
+            chunk[:nv] = feat[done: done + nv]
+            st, out = streaming.online_cmvn_step(
+                st, jnp.asarray(chunk), jnp.asarray(nv, jnp.int32),
+                window, normalize_variance=True)
+            got.append(np.asarray(out)[:nv])
+            done += nv
+        got = np.concatenate(got)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_streaming_online_cmvn_end_to_end(speechlike, rng):
+    """Full serving chain: streamed MFCC -> streamed online CMVN equals
+    the batch pipeline + batch online_cmvn on the same signal."""
+    from mfcc_tpu import FeatureConfig
+    from mfcc_tpu.models import streaming, mfcc as mfcc_model
+    cfg = FeatureConfig()
+    window = 30
+    x = speechlike[: 9600]                    # 0.6 s = 6 chunks of 0.1 s
+    batch = np.asarray(mfcc_model.mfcc_jit(jnp.asarray(x), cfg))
+    want = np.asarray(post.online_cmvn(
+        jnp.asarray(batch)[None],
+        jnp.asarray([batch.shape[0]], jnp.int32), window))[0]
+    st = streaming.init_state(cfg)
+    cst = streaming.init_online_cmvn(window, cfg.n_mfcc)
+    C = 10 * cfg.hop_len
+    got = []
+    for i in range(x.size // C):
+        st, feat, nv = streaming.process_chunk_jit(
+            st, jnp.asarray(x[i * C: (i + 1) * C]), cfg)
+        cst, out = streaming.online_cmvn_step(cst, feat, nv, window)
+        got.append(np.asarray(out)[: int(nv)])
+    got = np.concatenate(got)
+    np.testing.assert_allclose(got, want[: got.shape[0]], atol=1e-5)
