@@ -211,6 +211,17 @@ class FeatureConfig:
                     "vtln_high*min(1,warp) < fmax "
                     f"(got fmin={self.fmin}, l={l}, h={h}, "
                     f"fmax={self.fmax_hz})")
+            # monotonicity of the piecewise-linear warp also needs the RAW
+            # cutoffs strictly inside [fmin, fmax] (Kaldi asserts the same):
+            # e.g. vtln_high_hz > fmax makes scale_right < 0 — a silently
+            # non-monotonic warp and corrupt filterbank.
+            if not (self.fmin < self.vtln_low
+                    and self.vtln_high_hz < self.fmax_hz):
+                raise ValueError(
+                    "VTLN needs fmin < vtln_low and vtln_high < fmax "
+                    f"(got fmin={self.fmin}, vtln_low={self.vtln_low}, "
+                    f"vtln_high_hz={self.vtln_high_hz}, "
+                    f"fmax={self.fmax_hz})")
         if self.n_bark < 2:
             raise ValueError("n_bark must be >= 2")
         if not (1 <= self.lpc_order < self.n_bark + 2):

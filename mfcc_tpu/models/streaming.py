@@ -192,10 +192,12 @@ def process_chunks_batch_jit(state: StreamState, chunks: jnp.ndarray,
 
 class OnlineCmvnState(NamedTuple):
     """Carry for causal online CMVN over a feature stream: the trailing
-    ``window - 1`` emitted frames (zeros before the stream starts) plus
-    the count of frames absorbed so far."""
-    buf: jnp.ndarray          # (window-1, F) trailing feature frames
+    ``window - 1`` emitted frames in the offset-shifted domain (zeros
+    before the stream starts), the count of frames absorbed so far, and
+    the shift offset (the stream's first frame, captured once)."""
+    buf: jnp.ndarray          # (window-1, F) trailing SHIFTED frames
     frames_seen: jnp.ndarray  # () int32
+    offset: jnp.ndarray       # (F,) first stream frame (0 until captured)
 
 
 def init_online_cmvn(window: int, n_feats: int,
@@ -203,6 +205,7 @@ def init_online_cmvn(window: int, n_feats: int,
     return OnlineCmvnState(
         buf=jnp.zeros((window - 1, n_feats), dtype),
         frames_seen=jnp.zeros((), jnp.int32),
+        offset=jnp.zeros((n_feats,), dtype),
     )
 
 
@@ -215,18 +218,28 @@ def online_cmvn_step(state: OnlineCmvnState, feats: jnp.ndarray,
     feats: (S, F) chunk slots as emitted by process_chunk (slots past
     ``n_valid`` are zero and stay zero).  Slot j (global frame
     g = frames_seen + j) is normalized by the stats of global frames
-    [max(0, g - window + 1), g] — exactly the batch-mode
-    ops/post.online_cmvn and the float64 oracle.online_cmvn
-    (tests/test_post.py pins chunk-size-invariant parity).  ``prior``:
-    optional (count, sum (F,), sumsq (F,)) stats blended while the
+    [max(0, g - window + 1), g] — the same contract as the batch-mode
+    ops/post.online_cmvn and the float64 oracle.online_cmvn, equal to
+    the batch op within f32 roundoff (~1e-5; cumsum restarts at chunk
+    boundaries change the f32 summation order, so outputs may differ at
+    the ulp level across chunkings — the one documented exception to the
+    streaming-bit-equals-batch invariant, see docs/conventions.md;
+    tests/test_post.py pins chunk-size-invariant parity at 1e-5).
+    Stats run on offset-shifted data (offset = the stream's first frame,
+    same cancellation-resistant formulation as the batch op).  ``prior``:
+    optional (count, sum (F,), sumsq (F,)) raw stats blended while the
     window is young.  Returns (new_state, normalized (S, F)).
     """
     from ..ops.post import _blend_prior
     S, F = feats.shape
     W = window
     valid = (jnp.arange(S, dtype=jnp.int32) < n_valid)
-    fm = feats * valid[:, None].astype(feats.dtype)
-    buf = jnp.concatenate([state.buf, fm])          # (W-1+S, F)
+    # capture the shift offset at the stream's first valid frame (slot 0
+    # of the first chunk with n_valid > 0; stays 0 — i.e. unshifted — for
+    # leading empty chunks, which emit no frames anyway)
+    off = jnp.where(state.frames_seen == 0, feats[0], state.offset)
+    fm = (feats - off) * valid[:, None].astype(feats.dtype)
+    buf = jnp.concatenate([state.buf, fm])          # (W-1+S, F) shifted
     # rows of buf are global frames [frames_seen-(W-1), frames_seen+S);
     # slot j is row W-1+j, its causal window is rows [j, W-1+j] — a
     # static size-W slice (pre-stream rows are zeros and are excluded
@@ -242,17 +255,18 @@ def online_cmvn_step(state: OnlineCmvnState, feats: jnp.ndarray,
         sq = cs2[W + j] - cs2[j]
     else:
         sq = None
-    cnt, sums, sq = _blend_prior(cnt, sums, sq, W, prior)
-    mean = sums / cnt[:, None]
-    out = feats - mean
+    cnt, sums, sq = _blend_prior(cnt, sums, sq, W, prior, offset=off)
+    mean_s = sums / cnt[:, None]
+    out = (feats - off) - mean_s
     if normalize_variance:
-        var = jnp.maximum(sq / cnt[:, None] - mean * mean, 1e-8)
+        var = jnp.maximum(sq / cnt[:, None] - mean_s * mean_s, 1e-8)
         out = out / jnp.sqrt(var)
     out = out * valid[:, None].astype(out.dtype)
     new_buf = jax.lax.dynamic_slice(
         buf, (n_valid.astype(jnp.int32), jnp.int32(0)), (W - 1, F))
     return OnlineCmvnState(buf=new_buf,
-                           frames_seen=state.frames_seen + n_valid), out
+                           frames_seen=state.frames_seen + n_valid,
+                           offset=off), out
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk_frames", "variant"))

@@ -54,13 +54,19 @@ def sliding_cmvn(feat: jnp.ndarray, flens: jnp.ndarray, window: int = 600,
     cnt = (jnp.minimum(hi_s, fl) - jnp.minimum(lo_s, fl)).astype(feat.dtype)
     cnt = jnp.maximum(cnt, 1.0)
 
-    fm = feat * mask[..., None]
-    sums, _ = _window_sums(fm, window)               # masked sums
-    mean = sums / cnt[..., None]
-    out = feat - mean
+    # Cancellation-resistant one-pass stats: all window sums run on data
+    # shifted by the utterance's first frame c.  var and (feat - mean) are
+    # shift-invariant in exact arithmetic; in f32 the shift keeps
+    # E[x'^2] ~ var instead of var + mean^2, whose difference cancels
+    # catastrophically for short windows when |mean| ~ std.
+    c = feat[:, :1, :]
+    fs = (feat - c) * mask[..., None]
+    sums, _ = _window_sums(fs, window)               # masked, shifted sums
+    mean_s = sums / cnt[..., None]
+    out = (feat - c) - mean_s
     if normalize_variance:
-        sq, _ = _window_sums(fm * fm, window)
-        var = jnp.maximum(sq / cnt[..., None] - mean * mean, 1e-8)
+        sq, _ = _window_sums(fs * fs, window)
+        var = jnp.maximum(sq / cnt[..., None] - mean_s * mean_s, 1e-8)
         out = out / jnp.sqrt(var)
     return out * mask[..., None]
 
@@ -82,9 +88,13 @@ def online_cmvn(feat: jnp.ndarray, flens: jnp.ndarray, window: int = 600,
     B, T, F = feat.shape
     mask = (jnp.arange(T, dtype=jnp.int32)[None, :]
             < flens[:, None]).astype(feat.dtype)
-    fm = feat * mask[..., None]
-    zero = jnp.zeros_like(fm[:, :1])
-    cs = jnp.concatenate([zero, jnp.cumsum(fm, axis=1)], axis=1)
+    # Shifted one-pass stats (see sliding_cmvn): offset = frame 0, which is
+    # CAUSAL (always the first frame any window sees) so past outputs stay
+    # bit-identical when future frames change.
+    c = feat[:, :1, :]
+    fs = (feat - c) * mask[..., None]
+    zero = jnp.zeros_like(fs[:, :1])
+    cs = jnp.concatenate([zero, jnp.cumsum(fs, axis=1)], axis=1)
     t = np.arange(T)
     lo_s = np.maximum(t - window + 1, 0)[None, :]
     hi_s = (t + 1)[None, :]
@@ -93,31 +103,45 @@ def online_cmvn(feat: jnp.ndarray, flens: jnp.ndarray, window: int = 600,
     cnt = (jnp.minimum(hi_s, fl) - jnp.minimum(lo_s, fl)).astype(feat.dtype)
     cnt = jnp.maximum(cnt, 1.0)
     if normalize_variance:
-        cs2 = jnp.concatenate([zero, jnp.cumsum(fm * fm, axis=1)], axis=1)
+        cs2 = jnp.concatenate([zero, jnp.cumsum(fs * fs, axis=1)], axis=1)
         sq = cs2[:, hi_s[0]] - cs2[:, lo_s[0]]
     else:
         sq = None
-    cnt, sums, sq = _blend_prior(cnt, sums, sq, window, prior)
-    mean = sums / cnt[..., None]
-    out = feat - mean
+    cnt, sums, sq = _blend_prior(cnt, sums, sq, window, prior, offset=c)
+    mean_s = sums / cnt[..., None]
+    out = (feat - c) - mean_s
     if normalize_variance:
-        var = jnp.maximum(sq / cnt[..., None] - mean * mean, 1e-8)
+        var = jnp.maximum(sq / cnt[..., None] - mean_s * mean_s, 1e-8)
         out = out / jnp.sqrt(var)
     return out * mask[..., None]
 
 
-def _blend_prior(cnt, sums, sq, window, prior):
-    """Add min(prior_count, window - cnt) worth of the prior stats."""
+def _blend_prior(cnt, sums, sq, window, prior, offset=None):
+    """Add min(prior_count, window - cnt) worth of the prior stats.
+
+    ``offset``: when the window sums were computed on offset-shifted data
+    x' = x - c (the cancellation-resistant formulation), the prior's raw
+    (count, sum, sumsq) must be expressed in the same shifted frame:
+    sum' = sum - count*c, sumsq' = sumsq - 2c*sum + count*c^2.  When the
+    window is already full (w == 0) all added terms are exact zeros, so
+    the with-prior and no-prior paths stay bit-identical there.
+    """
     if prior is None:
         return cnt, sums, sq
     pc, ps, pss = prior
     pc = jnp.asarray(pc, cnt.dtype)
+    ps = jnp.asarray(ps)
+    pss = jnp.asarray(pss)
+    if offset is not None:
+        c = offset
+        pss = pss - 2.0 * c * ps + pc * c * c
+        ps = ps - pc * c
     w = jnp.clip(jnp.asarray(window, cnt.dtype) - cnt, 0.0, pc)
     scale = jnp.where(pc > 0.0, w / jnp.maximum(pc, 1e-30), 0.0)
     cnt = cnt + w
-    sums = sums + scale[..., None] * jnp.asarray(ps)      # (F,) broadcasts
+    sums = sums + scale[..., None] * ps      # (F,) / (B,1,F) broadcasts
     if sq is not None:
-        sq = sq + scale[..., None] * jnp.asarray(pss)
+        sq = sq + scale[..., None] * pss
     return cnt, sums, sq
 
 

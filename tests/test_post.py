@@ -10,7 +10,9 @@ from mfcc_tpu.ops import post
 
 def _ragged_feats(rng, B=3, T=50, F=8):
     feat = rng.standard_normal((B, T, F)).astype(np.float32) * 3 + 1.5
-    flens = np.asarray([T, T - 17, 5], np.int32)
+    # ragged pattern derived from B (first row always full-length)
+    pattern = [T, max(T - 17, 1), min(5, T)]
+    flens = np.asarray((pattern * (B // 3 + 1))[:B], np.int32)
     for b, n in enumerate(flens):
         feat[b, n:] = 0.0
     return feat, flens

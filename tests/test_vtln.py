@@ -24,6 +24,21 @@ def test_warp_identity_at_one():
         oracle.mel_filterbank(cfg.replace(vtln_warp=1.0)))
 
 
+def test_validate_rejects_raw_cutoffs_outside_band():
+    """Monotonicity needs the RAW cutoffs inside (fmin, fmax), not just
+    the warp-scaled knees: vtln_high_hz=8500 > fmax=8000 gives
+    scale_right < 0 (a non-monotonic warp) even though the scaled knee
+    h = 8500*0.85 = 7225 < 8000 passes the knee check."""
+    with pytest.raises(ValueError):
+        FeatureConfig(vtln_warp=0.85, vtln_high=8500.0).validate()
+    # fmin=110 > vtln_low=100 but the scaled knee 100*1.2=120 > 110 passes
+    # the knee check — only the raw-cutoff check catches it
+    with pytest.raises(ValueError):
+        FeatureConfig(vtln_warp=1.2, fmin=110.0).validate()
+    # identity warp doesn't engage the VTLN band checks
+    FeatureConfig(vtln_warp=1.0, vtln_high=8500.0).validate()
+
+
 @pytest.mark.parametrize("warp", [0.8, 0.9, 1.1, 1.25])
 def test_warp_function_properties(warp):
     cfg = FeatureConfig(vtln_warp=warp).validate()
