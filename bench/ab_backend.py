@@ -12,6 +12,7 @@ Modes:
 - ``pallas``        fused DIT kernel + its XLA-side prep (kernels/fused_dit)
 - ``pallas-direct`` v1 direct hop-block kernel + prep (kernels/fused_mfcc)
 - ``pallas-raw``    v3 raw-audio kernel, zero XLA prep (kernels/fused_raw)
+- ``pallas-raw-dit`` v4 radix-2 DIT on the raw layout (kernels/fused_raw_dit)
 
 Results decide backend.resolve("auto").
 
@@ -56,7 +57,8 @@ def main():
     from mfcc_tpu import FeatureConfig, oracle
     from mfcc_tpu.models import mfcc as mfcc_model
     from mfcc_tpu.ops import framing
-    from mfcc_tpu.ops.kernels import fused_dit, fused_mfcc, fused_raw
+    from mfcc_tpu.ops.kernels import (fused_dit, fused_mfcc, fused_raw,
+                                      fused_raw_dit)
 
     cfg = FeatureConfig().validate()
     sr = cfg.sample_rate
@@ -94,6 +96,10 @@ def main():
             def fn(x):
                 return fused_raw.fused_features_raw(x, cfg, tile_t=args.tile,
                                                     interpret=interp)
+        elif mode == "pallas-raw-dit":
+            def fn(x):
+                return fused_raw_dit.fused_features_raw_dit(
+                    x, cfg, tile_t=args.tile, interpret=interp)
         else:
             raise ValueError(mode)
         return fn

@@ -86,6 +86,23 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--cmvn-sliding", type=int, default=0, metavar="WINDOW",
                    help="per-utterance sliding-window CMVN (frames; "
                         "Kaldi apply-cmvn-sliding; 0 = off)")
+    f.add_argument("--cmvn-online", type=int, default=0, metavar="WINDOW",
+                   help="CAUSAL online CMVN over the trailing WINDOW "
+                        "frames (Kaldi apply-cmvn-online; zero lookahead "
+                        "— the batch twin of the streaming serving path; "
+                        "0 = off)")
+    f.add_argument("--cmvn-online-prior", default=None, metavar="CMVN_NPZ",
+                   help="cmvn.npz global stats (from a previous --cmvn "
+                        "run) blended in while the causal window is "
+                        "young (requires --cmvn-online)")
+    f.add_argument("--dynamic-range-db", type=float, default=None,
+                   metavar="DB",
+                   help="per-frame relative energy floor: mel energies "
+                        "more than DB below the frame's peak band are "
+                        "floored.  Makes the 1e-4 log-mel accuracy "
+                        "contract exact by construction (f32 valleys "
+                        "below ~60-70 dB are physics-limited; see "
+                        "docs/conventions.md accuracy policy)")
     f.add_argument("--splice", type=int, default=0, metavar="N",
                    help="splice +-N context frames (Kaldi splice-feats; "
                         "0 = off)")
@@ -106,19 +123,24 @@ def config_from_args(a) -> FeatureConfig:
         dither=a.dither, dither_seed=a.dither_seed,
         dft_algorithm=a.dft_algorithm,
         n_bark=a.n_bark, lpc_order=a.lpc_order,
+        dynamic_range_db=a.dynamic_range_db,
         append_energy=a.append_energy, deltas=a.deltas, cmvn=a.cmvn,
     ).validate()
 
 
 def main(argv=None) -> int:
     a = build_parser().parse_args(argv)
-    if a.cmvn and a.cmvn_sliding:
-        raise SystemExit("--cmvn (global two-pass) and --cmvn-sliding are "
-                         "mutually exclusive")
+    if sum(map(bool, (a.cmvn, a.cmvn_sliding, a.cmvn_online))) > 1:
+        raise SystemExit("--cmvn (global two-pass), --cmvn-sliding and "
+                         "--cmvn-online are mutually exclusive")
+    if a.cmvn_online_prior and not a.cmvn_online:
+        raise SystemExit("--cmvn-online-prior requires --cmvn-online")
     cfg = config_from_args(a)
     opts = RunnerOptions(
         out_dir=a.out, batch_size=a.batch_size, logmel=a.logmel, plp=a.plp,
-        pitch=a.pitch, cmvn_sliding=a.cmvn_sliding, splice=a.splice,
+        pitch=a.pitch, cmvn_sliding=a.cmvn_sliding,
+        cmvn_online=a.cmvn_online, cmvn_online_prior=a.cmvn_online_prior,
+        splice=a.splice,
         resume=not a.no_resume, trace_dir=a.trace_dir, backend=a.backend,
         out_format=a.format, resample=a.resample)
     rep = run(a.input, cfg, opts)

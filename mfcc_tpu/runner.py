@@ -157,6 +157,12 @@ class RunnerOptions:
                                       # (models/pitch.py, edge-aligned)
     cmvn_sliding: int = 0             # sliding-window CMVN (frames; 0=off,
                                       # mutually exclusive with cfg.cmvn)
+    cmvn_online: int = 0              # CAUSAL online CMVN window (frames;
+                                      # 0=off; Kaldi apply-cmvn-online —
+                                      # the batch twin of the streaming
+                                      # serving path's online_cmvn_step)
+    cmvn_online_prior: str | None = None  # cmvn.npz global stats blended
+                                      # while the causal window is young
     splice: int = 0                   # symmetric context splice (0=off)
     min_bucket: int = 16_000          # 1 s
     max_bucket: int = 16_000 * 30     # 30 s
@@ -318,12 +324,25 @@ def _pitch_config(cfg):
                        work_rate=min(4000, cfg.sample_rate)).validate()
 
 
+def _load_online_prior(opts):
+    """cmvn.npz -> f32 (count, sum (F,), sumsq (F,)) for the prior blend,
+    or None.  Loaded once host-side; the arrays close over the jit as
+    constants (one compile per run, same as the config)."""
+    if not (opts.cmvn_online and opts.cmvn_online_prior):
+        return None
+    z = np.load(opts.cmvn_online_prior)
+    return (np.float32(z["count"]), z["sum"].astype(np.float32),
+            z["sumsq"].astype(np.float32))
+
+
 def _feature_fn(opts):
-    if not (opts.pitch or opts.cmvn_sliding or opts.splice):
+    if not (opts.pitch or opts.cmvn_sliding or opts.cmvn_online
+            or opts.splice):
         # the module-level jits: every run() in a process shares one
         # compile cache (a fresh jax.jit wrapper per call re-traces)
         return _base_jit(opts)
     base = _base_feature_fn(opts)
+    prior = _load_online_prior(opts)
 
     def wrapped(a, l, cfg, backend="auto"):
         feat, flens, mask = base(a, l, cfg, backend)
@@ -337,6 +356,10 @@ def _feature_fn(opts):
         if opts.cmvn_sliding:               # Kaldi order: cmvn, then splice
             from .ops import post
             feat = post.sliding_cmvn(feat, flens, opts.cmvn_sliding)
+        if opts.cmvn_online:
+            from .ops import post
+            feat = post.online_cmvn(feat, flens, opts.cmvn_online,
+                                    prior=prior)
         if opts.splice:
             from .ops import post
             feat = post.splice(feat, flens, opts.splice, opts.splice)
@@ -501,6 +524,12 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
                 want = np.concatenate([want, pw], axis=-1)
             if opts.cmvn_sliding:
                 want = oracle.sliding_cmvn(want, opts.cmvn_sliding)
+            if opts.cmvn_online:
+                pr = _load_online_prior(opts)
+                if pr is not None:
+                    pr = (float(pr[0]), pr[1].astype(np.float64),
+                          pr[2].astype(np.float64))
+                want = oracle.online_cmvn(want, opts.cmvn_online, prior=pr)
             if opts.splice:
                 want = oracle.splice(want, opts.splice, opts.splice)
             got = feat_np[i, : flens_np[i]]

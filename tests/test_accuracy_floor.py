@@ -82,23 +82,33 @@ def test_unbounded_valley_floor_is_f32_not_pipeline():
 
 
 @pytest.mark.parametrize("db, bound", [
-    (60.0, 1e-4),   # strict contract inside a 60 dB window (measured 3.5e-5)
-    (80.0, 5e-4),   # 80 dB window: measured 1.7e-4 on CPU (r1 TPU: 2.5e-4)
+    (50.0, 1e-4),   # THE contract point (measured 1.8e-5 / 4.4e-5)
+    (60.0, 2.5e-4),  # f32 model bound 2*eps*10^3 (measured 3.5e-5/1.21e-4)
+    (80.0, 5e-4),   # measured 1.7e-4 CPU / 2.5e-4 TPU (signal-dependent:
+                    # the model bound 2*eps*10^4 binds only if valleys
+                    # actually sit at the floor)
 ])
-def test_bounded_range_error_scales_with_floor(db, bound):
-    """With the Kaldi-style per-frame dynamic-range floor the log only has
-    to resolve energies the floor keeps: the error drops with the window
-    depth, meeting 1e-4 at 60 dB — on the same window/signal that fails
-    unbounded.  (Realistic speech has a noise floor well above -60 dB of
-    the frame peak; docs/conventions.md.)"""
+@pytest.mark.parametrize("signal", ["adversarial", "speechlike"])
+def test_bounded_range_error_scales_with_floor(db, bound, signal,
+                                               speechlike):
+    """THE log-mel accuracy contract (docs/conventions.md accuracy
+    policy): log-mel-80 holds 1e-4 vs the float64 oracle at a declared
+    dynamic_range_db <= 50 window — on the adversarial two-tone signal
+    (whose unbounded valleys fail any f32 pipeline, test above) AND on
+    speech-like audio.  With the Kaldi-style per-frame floor the log
+    only has to resolve energies the floor keeps, so the error scales
+    with the window depth as ~2*eps*10^(db/20): 7.6e-5 at 50 dB,
+    2.4e-4 at 60 (the speech-like signal measures 1.21e-4 there — which
+    is why the strict contract point is 50, not the 60 the adversarial
+    signal alone would suggest)."""
     cfg = FeatureConfig(n_mels=80, n_mfcc=80, window="hann",
                         dynamic_range_db=db).validate()
-    x = _two_tone()
+    x = _two_tone() if signal == "adversarial" else speechlike
     want = oracle.log_mel(x.astype(np.float64), cfg)
     got, flens, _ = logmel_model.log_mel_batch_jit(
         jnp.asarray(x[None]), jnp.asarray(np.array([len(x)], np.int32)), cfg)
     err = np.abs(np.asarray(got[0])[: want.shape[0]] - want).max()
-    assert err < bound, (db, err)
+    assert err < bound, (db, signal, err)
 
 
 def test_mfcc13_headline_contract_on_adversarial_signal():

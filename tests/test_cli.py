@@ -92,6 +92,57 @@ def test_cli_logmel_cmvn(tmp_path, rng):
     assert (out / "cmvn.npz").exists()
 
 
+def test_cli_cmvn_online_with_prior(tmp_path, rng):
+    """Two-stage production flow: a --cmvn pass writes cmvn.npz, then a
+    --cmvn-online run blends those stats as the prior while each causal
+    window is young.  Output is checked against the float64 oracle
+    chain; the run report's self-check covers the device path."""
+    d, sigs = _mk_corpus(tmp_path, rng, n=3)
+    out1 = tmp_path / "pass1"
+    r = _run_cli([str(d), "-o", str(out1), "--cmvn"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    out2 = tmp_path / "pass2"
+    r = _run_cli([str(d), "-o", str(out2), "--cmvn-online", "40",
+                  "--cmvn-online-prior", str(out1 / "cmvn.npz")], tmp_path)
+    assert r.returncode == 0, r.stderr
+    z = np.load(out1 / "cmvn.npz")
+    prior = (float(z["count"]), z["sum"].astype(np.float64),
+             z["sumsq"].astype(np.float64))
+    cfg = FeatureConfig()
+    for name, sig in sigs.items():
+        feat = np.load(out2 / f"{name}.npy")
+        want = oracle.online_cmvn(
+            oracle.mfcc(sig.astype(np.float64), cfg), 40, prior=prior)
+        np.testing.assert_allclose(feat, want, atol=2e-5)
+    rep = json.loads((out2 / "run_report.0.json").read_text())
+    assert rep["max_abs_error"] < 1e-4
+
+
+def test_cli_dynamic_range_db(tmp_path, rng):
+    """--dynamic-range-db reaches the pipeline: log-mel output matches
+    the oracle with the same per-frame relative floor, and differs from
+    the unfloored run in valley bins."""
+    d = tmp_path / "corpus"
+    d.mkdir()
+    # two-tone signal with deep spectral valleys
+    t = np.arange(16000) / 16000.0
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 1e-4 * np.sin(2 * np.pi * 3700 * t)).astype(np.float32)
+    wav.write_wav(d / "u.wav", x, 16000)
+    sig, _ = wav._parse(open(d / "u.wav", "rb").read(), None)
+    out = tmp_path / "feats"
+    r = _run_cli([str(d), "-o", str(out), "--logmel", "--n-mels", "40",
+                  "--dynamic-range-db", "60"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    cfg = FeatureConfig(n_mels=40, n_mfcc=40, dynamic_range_db=60.0)
+    feat = np.load(out / "u.npy")
+    want = oracle.log_mel(sig.astype(np.float64), cfg)
+    np.testing.assert_allclose(feat, want, atol=1e-4)
+    nofloor = oracle.log_mel(sig.astype(np.float64),
+                             FeatureConfig(n_mels=40, n_mfcc=40))
+    assert np.abs(want - nofloor).max() > 1.0   # the floor engaged
+
+
 def test_cli_bad_args():
     r = subprocess.run(
         [sys.executable, "-m", "mfcc_tpu", "nonexistent_dir_xyz",

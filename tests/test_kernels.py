@@ -9,7 +9,8 @@ import pytest
 
 from mfcc_tpu import FeatureConfig, oracle
 from mfcc_tpu.ops import framing
-from mfcc_tpu.ops.kernels import fused_dit, fused_mfcc, fused_raw
+from mfcc_tpu.ops.kernels import (fused_dit, fused_mfcc, fused_raw,
+                                  fused_raw_dit)
 from mfcc_tpu.models import mfcc as mfcc_model
 
 ATOL = 1e-4
@@ -264,3 +265,114 @@ def test_pallas_backend_routes_to_dit(rng):
     got = np.asarray(mfcc_model.mfcc_jit(jnp.asarray(x), CFG, "pallas"))
     want = oracle.mfcc(x.astype(np.float64), CFG)
     np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# fused_raw_dit: radix-2 DIT on the zero-prep raw layout (v4)
+# ---------------------------------------------------------------------------
+
+def test_raw_dit_kernel_matches_oracle(rng):
+    """Raw audio in (parity deinterleave in the wrapper, pre-emphasis
+    inside the kernel, DIT combine with the bin permutation folded into
+    the mel matrix) -> oracle parity."""
+    x = (rng.standard_normal((2, 16000)) * 0.3).astype(np.float32)
+    assert fused_raw_dit.raw_dit_kernel_eligible(CFG)
+    got = np.asarray(fused_raw_dit.fused_features_raw_dit(
+        jnp.asarray(x), CFG, interpret=True))
+    assert got.shape == (2, 98, 13)
+    for b in range(2):
+        want = oracle.mfcc(x[b].astype(np.float64), CFG)
+        np.testing.assert_allclose(got[b], want, atol=ATOL)
+
+
+def test_raw_dit_kernel_matches_jnp_path(rng):
+    x = (rng.standard_normal((3, 12000)) * 0.3).astype(np.float32)
+    lens = np.full((3,), 12000, np.int32)
+    got = np.asarray(fused_raw_dit.fused_features_raw_dit(
+        jnp.asarray(x), CFG, interpret=True))
+    want, _, _ = mfcc_model.mfcc_batch_jit(
+        jnp.asarray(x), jnp.asarray(lens), CFG, "xla")
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("variant", [
+    dict(),                               # hop 160: hop/2=80 -> P=8
+    dict(frame_ms=25.0625),               # frame_len 401 (odd parity split)
+    dict(n_fft=1024),
+    dict(append_energy=True),
+    dict(lifter=22),
+    dict(dynamic_range_db=80.0),
+    dict(preemph=0.0),                    # preemph branch compiled out
+    dict(frame_ms=32.0, hop_ms=16.0),     # hop 256: hop/2=128 -> P=1
+    dict(vtln_warp=1.1),
+])
+def test_raw_dit_kernel_variants_vs_oracle(rng, variant):
+    cfg = FeatureConfig(**variant).validate()
+    if not fused_raw_dit.raw_dit_kernel_eligible(cfg):
+        pytest.skip("config not raw-DIT-kernel eligible")
+    n = cfg.sample_rate
+    x = (rng.standard_normal((1, n)) * 0.3).astype(np.float32)
+    got = np.asarray(fused_raw_dit.fused_features_raw_dit(
+        jnp.asarray(x), cfg, interpret=True))
+    want = oracle.mfcc(x[0].astype(np.float64), cfg)
+    assert got.shape[1:] == want.shape
+    lift = oracle.lifter_coeffs(cfg.n_mfcc, cfg.lifter)
+    np.testing.assert_allclose(got[0] / lift, want / lift, atol=ATOL)
+
+
+def test_raw_dit_kernel_logmel_mode(rng):
+    # The DIT twiddle combine adds one f32 rounding stage over v3's
+    # single-GEMM accumulation, so v4's log-mel valley floor is ~2x
+    # v3's: measured 1.03e-4 at a 60 dB window (v3: 1.5e-5), 5.3e-5 at
+    # 50 dB.  The backend therefore keeps v3 for log-mel outputs (valley-
+    # sensitive) and uses v4 only for cepstral outputs (DCT-projected,
+    # ~8e-6).  This test pins v4's own envelope at the 50 dB window.
+    cfg = FeatureConfig(n_mels=80, n_mfcc=80,
+                        dynamic_range_db=50.0).validate()
+    x = (rng.standard_normal((2, 8000)) * 0.3).astype(np.float32)
+    got = np.asarray(fused_raw_dit.fused_features_raw_dit(
+        jnp.asarray(x), cfg, apply_dct=False, interpret=True))
+    assert got.shape == (2, cfg.num_frames(8000), 80)
+    for b in range(2):
+        want = oracle.log_mel(x[b].astype(np.float64), cfg)
+        np.testing.assert_allclose(got[b], want, atol=ATOL)
+
+
+def test_raw_dit_kernel_non_tile_multiple(rng):
+    """98 frames with tile 64 (2 tiles + padding); padded frames must not
+    leak, and the double-buffered DMA must stay in range at the tail."""
+    x = (rng.standard_normal((1, 16000)) * 0.3).astype(np.float32)
+    got = np.asarray(fused_raw_dit.fused_features_raw_dit(
+        jnp.asarray(x), CFG, tile_t=64, interpret=True))
+    want = oracle.mfcc(x[0].astype(np.float64), CFG)
+    assert got.shape == (1, 98, 13)
+    np.testing.assert_allclose(got[0], want, atol=ATOL)
+
+
+def test_raw_dit_kernel_multi_batch_multi_tile(rng):
+    """Batch x tiles exercises the flattened double-buffer step index."""
+    x = (rng.standard_normal((4, 48000)) * 0.3).astype(np.float32)
+    got = np.asarray(fused_raw_dit.fused_features_raw_dit(
+        jnp.asarray(x), CFG, tile_t=128, interpret=True))
+    assert got.shape == (4, 298, 13)
+    for b in range(4):
+        want = oracle.mfcc(x[b].astype(np.float64), CFG)
+        np.testing.assert_allclose(got[b], want, atol=ATOL)
+
+
+def test_raw_dit_kernel_ineligible_configs():
+    # odd hop: parity split is not frame-invariant
+    assert not fused_raw_dit.raw_dit_kernel_eligible(
+        FeatureConfig(sample_rate=22050))       # hop 220 -> hop/2=110, P=64
+    assert not fused_raw_dit.raw_dit_kernel_eligible(
+        FeatureConfig(hop_ms=10.0625))          # hop 161 (odd)
+    with pytest.raises(ValueError):
+        fused_raw_dit.fused_features_raw_dit(
+            jnp.zeros((1, 22050), jnp.float32),
+            FeatureConfig(sample_rate=22050), interpret=True)
+
+
+def test_raw_dit_kernel_short_signal():
+    x = jnp.zeros((1, 300), jnp.float32)     # < frame_len
+    got = fused_raw_dit.fused_features_raw_dit(x, CFG, interpret=True)
+    assert got.shape == (1, 0, 13)
