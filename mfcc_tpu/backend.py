@@ -31,15 +31,17 @@ def resolve(name: str = "auto", cfg=None) -> str:
         raise ValueError(f"backend must be one of {BACKENDS}, got {name!r}")
     if name == "auto":
         # On-device A/B, v5e medians, scan protocol (bench/ab_backend.json
-        # r2): raw kernel 351.4k, DIT kernel 313.0k, XLA hop-block 259.0k
-        # audio-sec/s/chip — all at <= 2.9e-6 vs the oracle.  auto -> the
-        # raw kernel where eligible (zero XLA prep; preemph in-kernel),
-        # else the DIT kernel; the v1 direct kernel LOSES to XLA, so
-        # configs neither can take (odd hop, n_fft % 4 != 0, lane-phase
-        # period > 8) stay on the XLA path.
+        # r3): v4 raw-DIT kernel 410.7k, v3 raw kernel 356.3k, DIT kernel
+        # 331.2k, XLA hop-block 259.6k audio-sec/s/chip — all at <= 2.8e-6
+        # vs the oracle.  auto -> pallas where any raw/DIT kernel is
+        # eligible (models/mfcc.py picks v4 for cepstral outputs, v3 for
+        # log-mel — valley accuracy, docs/conventions.md); the v1 direct
+        # kernel LOSES to XLA, so configs none of them can take (odd hop,
+        # n_fft % 4 != 0, lane-phase period > 8) stay on the XLA path.
         if jax.default_backend() == "tpu" and cfg is not None:
-            from .ops.kernels import fused_dit, fused_raw
+            from .ops.kernels import fused_dit, fused_raw, fused_raw_dit
             if (fused_raw.raw_kernel_eligible(cfg)
+                    or fused_raw_dit.raw_dit_kernel_eligible(cfg)
                     or fused_dit.dit_kernel_eligible(cfg)):
                 return "pallas"
         return "xla"

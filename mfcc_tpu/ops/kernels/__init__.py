@@ -14,15 +14,21 @@ framework hand-writes MXU/VPU kernels in Pallas.
   assembly in-kernel via a lane-phase-periodic layout), deleting the
   XLA-side prep that the scan-protocol ablation showed costs ~47% of
   the DIT pipeline's time (bench/kernel_probe.py).
+- :mod:`fused_raw_dit` — v4: the radix-2 DIT math ON the raw layout
+  (half-rate parity streams, conjugate-symmetry combine with the bin
+  permutation folded into the mel matrix).  The r3 winner for cepstral
+  outputs (410.7k vs v3's 356.3k audio-sec/s, bench/ab_backend.json);
+  log-mel outputs stay on v3 (valley-accuracy, see module docstring).
 
 Every kernel ships with an ``interpret=True`` parity path and is tested
 against the jnp stages on CPU (tests/test_kernels.py) — the TPU analog of
 a sanitizer build (SURVEY.md §5).
 """
 
-from . import fused_mfcc  # noqa: F401
-from . import fused_dit   # noqa: F401
-from . import fused_raw   # noqa: F401
+from . import fused_mfcc     # noqa: F401
+from . import fused_dit      # noqa: F401
+from . import fused_raw      # noqa: F401
+from . import fused_raw_dit  # noqa: F401
 
 
 def fused_features_auto(y, cfg, *, apply_dct=True, interpret=False):

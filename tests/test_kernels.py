@@ -258,12 +258,20 @@ def test_raw_kernel_short_signal():
     assert got.shape == (1, 0, 13)
 
 
-def test_pallas_backend_routes_to_dit(rng):
-    """backend='pallas' end-to-end (interpret on CPU) uses the DIT kernel
-    for the default config and matches the oracle."""
+def test_pallas_backend_routes_to_raw_dit(rng):
+    """backend='pallas' end-to-end (interpret on CPU) picks the v4
+    raw-DIT kernel for the default cepstral config and the v3 raw kernel
+    for log-mel (valley accuracy) — both match the oracle."""
+    from mfcc_tpu.models import logmel as logmel_model
     x = (rng.standard_normal(16000) * 0.3).astype(np.float32)
     got = np.asarray(mfcc_model.mfcc_jit(jnp.asarray(x), CFG, "pallas"))
     want = oracle.mfcc(x.astype(np.float64), CFG)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+    cfg = FeatureConfig(n_mels=40, n_mfcc=40,
+                        dynamic_range_db=50.0).validate()
+    got = np.asarray(logmel_model.log_mel_jit(jnp.asarray(x), cfg,
+                                              "pallas"))
+    want = oracle.log_mel(x.astype(np.float64), cfg)
     np.testing.assert_allclose(got, want, atol=ATOL)
 
 
