@@ -8,6 +8,16 @@ Measures every baseline config (BASELINE.md table) on the current device:
   5. multi-host CMVN — functional validation on a fake pod (real pod
      hardware not available in this environment; see __graft_entry__)
 
+Protocol (r3 refresh, VERDICT r2 #2): ALL batch-pipeline throughput rows
+use the scan protocol — K pipeline iterations inside ONE dispatch via
+``lax.scan`` serialized by a scalar carry, completion forced by a host
+fetch — matching bench.py and bench/ab_backend.py.  The per-dispatch
+loop used through r2 is floored at this environment's ~2-3 ms relay
+dispatch round-trip and measures nothing about the chip
+(bench/kernel_probe.py).  The only deliberately per-dispatch rows are
+the streaming LATENCY metrics, where one dispatch per chunk IS the
+quantity being measured.
+
 Usage: python bench/full.py [--iters N] [--small]
 Writes bench/results.json and prints a row-per-config summary.
 """
@@ -62,6 +72,8 @@ def main():
     results = {"device": str(dev), "batch": B, "utt_seconds": sec}
 
     def timed(fn, *a, n_iter=iters):
+        """Per-dispatch timing — used ONLY where a dispatch per call is
+        the thing being measured (streaming latency rows)."""
         out = fn(*a)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
@@ -69,6 +81,29 @@ def main():
             out = fn(*a)
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / n_iter
+
+    SCAN = 4 if args.small else 20
+
+    def scan_timed(pipe, n_iter=iters):
+        """Scan-protocol timing of a full-pipeline fn x -> features: K
+        iterations inside one dispatch, serialized by a scalar carry
+        folded into the input; completion forced by a host fetch."""
+        def g():
+            def body(carry, _):
+                out = pipe(ad + carry)
+                return (out.ravel()[0] * jnp.float32(1e-30)).astype(
+                    ad.dtype), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), ad.dtype), None,
+                                length=SCAN)
+            return c
+        gj = jax.jit(g)
+        np.asarray(gj())               # compile + warm the fetch path
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_iter):
+            out = gj()
+        np.asarray(out)
+        return (time.perf_counter() - t0) / (n_iter * SCAN)
 
     # config 1: accuracy
     cfg = FeatureConfig()
@@ -79,17 +114,20 @@ def main():
     results["config1_single_wav"] = {
         "max_abs_error_vs_oracle": float(np.abs(got - want).max())}
 
-    # config 2: batched ragged MFCC-13
-    dt = timed(lambda: mfcc_model.mfcc_batch_jit(ad, ld, cfg)[0])
+    # config 2: batched ragged MFCC-13 (scan protocol)
+    dt = scan_timed(lambda x: mfcc_model.mfcc_batch(x, ld, cfg)[0])
     results["config2_batched_mfcc13"] = {
-        "audio_sec_per_s": audio_sec_total / dt, "wall_s_per_batch": dt}
+        "audio_sec_per_s": audio_sec_total / dt, "wall_s_per_batch": dt,
+        "protocol": "scan-carry-v2"}
 
-    # config 3: log-mel-80 + deltas.  Accuracy reported for the plain
-    # definition AND with an 80 dB dynamic-range floor: unbounded-range
-    # log of near-cancelled spectral valleys is not resolvable in f32 on
-    # ANY backend (see ops/mel.py / FeatureConfig.dynamic_range_db).
+    # config 3: log-mel-80 + deltas (scan protocol).  Accuracy reported
+    # for the plain definition AND with an 80 dB dynamic-range floor:
+    # unbounded-range log of near-cancelled spectral valleys is not
+    # resolvable in f32 on ANY backend (see ops/mel.py /
+    # FeatureConfig.dynamic_range_db; the strict 1e-4 contract point is
+    # a 50 dB window, docs/conventions.md).
     cfg3 = FeatureConfig(n_mels=80, n_mfcc=80, deltas=True).validate()
-    dt = timed(lambda: logmel_model.log_mel_batch_jit(ad, ld, cfg3)[0])
+    dt = scan_timed(lambda x: logmel_model.log_mel_batch(x, ld, cfg3)[0])
     i0feat, i0len, _ = logmel_model.log_mel_batch_jit(ad, ld, cfg3)
     got3 = np.asarray(i0feat[i0])[: int(i0len[i0])]
     want3 = oracle.log_mel(audio[i0][: lengths[i0]].astype(np.float64), cfg3)
@@ -99,25 +137,25 @@ def main():
     want3f = oracle.log_mel(audio[i0][: lengths[i0]].astype(np.float64), cfg3f)
     results["config3_logmel80_deltas"] = {
         "audio_sec_per_s": audio_sec_total / dt,
+        "protocol": "scan-carry-v2",
         "max_abs_error_vs_oracle_unbounded_range": float(
             np.abs(got3 - want3).max()),
         "max_abs_error_vs_oracle_80db_floor": float(
             np.abs(got3f - want3f).max())}
 
-    # pitch family (r2): 3-dim NCCF+Viterbi features on the same ragged
-    # batch.  Per-dispatch protocol like the rest of this matrix — the
-    # Viterbi lax.scan serializes T steps inside one dispatch, so unlike
-    # the GEMM pipelines this number is NOT dispatch-floored.
+    # pitch family (r2; scan protocol since r3): 3-dim NCCF+Viterbi
+    # features on the same ragged batch.
     from mfcc_tpu.config import PitchConfig
     from mfcc_tpu.models import pitch as pitch_model
     pcfg = PitchConfig().validate()
-    dtp = timed(lambda: pitch_model.pitch_batch_jit(ad, ld, pcfg)[0])
+    dtp = scan_timed(lambda x: pitch_model.pitch_batch(x, ld, pcfg)[0])
     fp, lp, _ = pitch_model.pitch_batch_jit(ad, ld, pcfg)
     gotp = np.asarray(fp[i0])[: int(lp[i0])]
     wantp = oracle.pitch(audio[i0][: lengths[i0]].astype(np.float64), pcfg)
     results["pitch_3dim"] = {
         "audio_sec_per_s": audio_sec_total / dtp,
         "wall_s_per_batch": dtp,
+        "protocol": "scan-carry-v2",
         "max_abs_error_vs_oracle": float(
             np.abs(gotp - wantp[: gotp.shape[0]]).max())}
 
@@ -168,11 +206,10 @@ def main():
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             sc = json.load(f)
-        ws = sc.get("weak_scaling_fake_pod", {})
-        results["config5_multihost"]["weak_scaling_efficiency"] = ws.get(
-            "efficiency_vs_1dev")
-        results["config5_multihost"]["stats_step_overhead_frac"] = ws.get(
-            "stats_step_overhead_frac")
+        results["config5_multihost"]["predicted_pod_efficiency"] = sc.get(
+            "predicted_pod_efficiency", {}).get("predicted_efficiency_v5e16")
+        results["config5_multihost"]["stats_step_overhead_frac"] = sc.get(
+            "collective_cost_measured", {}).get("stats_step_overhead_frac")
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "results.json")

@@ -355,7 +355,10 @@ def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
     P = LANE // math.gcd(hop_h, LANE)
     if tile_t is None:
         # adaptive, as v3: one grid step for a typical utterance, the
-        # smallest phase-aligned tile for short ones
+        # smallest phase-aligned tile for short ones.  Tile sweep on v5e
+        # (scan protocol, batch 64 x 10 s): 1024 -> 410.7k, 512 -> 379.6k,
+        # 2048 -> 252.1k audio-sec/s/chip (VMEM pressure breaks the DMA
+        # double-buffering past 1024).
         tile_t = min(1024, _round_up(T, 8 * P))
     plan = _plan(cfg, tile_t, apply_dct)
 
