@@ -356,9 +356,10 @@ def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
     if tile_t is None:
         # adaptive, as v3: one grid step for a typical utterance, the
         # smallest phase-aligned tile for short ones.  Tile sweep on v5e
-        # (scan protocol, batch 64 x 10 s): 1024 -> 410.7k, 512 -> 379.6k,
-        # 2048 -> 252.1k audio-sec/s/chip (VMEM pressure breaks the DMA
-        # double-buffering past 1024).
+        # (scan protocol, batch 64 x 10 s = 998 frames): 1024 -> 410.7k,
+        # 512 -> 379.6k (2 steps + half-size GEMMs), 2048 -> 252.1k (the
+        # tile pads 998 -> 2048 COMPUTED frames — overcompute, which the
+        # round_up cap below avoids for any T).
         tile_t = min(1024, _round_up(T, 8 * P))
     plan = _plan(cfg, tile_t, apply_dct)
 

@@ -121,6 +121,40 @@ def test_interrupt_resume_equals_uninterrupted(tmp_path, rng, monkeypatch,
 
 
 @pytest.mark.slow
+@pytest.mark.slow
+def test_interrupt_resume_with_pitch_appended(tmp_path, rng, monkeypatch):
+    """--pitch + resume: the appended 3-dim pitch columns survive an
+    interrupt/resume cycle bit-identically (the post-processing chain
+    runs inside the batch step, so resumed utterances recompute the
+    FULL feature row, never a partial one)."""
+    # n/k sized for the fake pod: batch_size rounds UP to the 8 local
+    # devices, so the bomb must outlive one full 8-utterance batch
+    corpus = _mk_corpus(tmp_path, rng, n=16)
+    cfg = FeatureConfig().validate()
+    opts = dict(batch_size=2, pitch=True)
+
+    ref_dir = str(tmp_path / "ref")
+    runner.run(corpus, cfg, runner.RunnerOptions(out_dir=ref_dir, **opts))
+    want = _read_outputs(ref_dir, "npy")
+    assert len(want) == 16
+    assert next(iter(want.values())).shape[1] == cfg.n_mfcc + 3
+
+    out_dir = str(tmp_path / "out")
+    restore = _interrupt_after(monkeypatch, _WRITERS["npy"], 10)
+    with pytest.raises(_Boom):
+        runner.run(corpus, cfg, runner.RunnerOptions(out_dir=out_dir,
+                                                     **opts))
+    restore()
+    man = manifest_lib.Manifest(
+        os.path.join(out_dir, "manifest.0.json"), cfg.config_hash())
+    assert 0 < len(man.done) < 16
+    runner.run(corpus, cfg, runner.RunnerOptions(out_dir=out_dir, **opts))
+    got = _read_outputs(out_dir, "npy")
+    assert sorted(got) == sorted(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
+
+
 def test_cmvn_applied_guard_on_grown_corpus(tmp_path, rng):
     corpus = _mk_corpus(tmp_path, rng, n=3)
     cfg = FeatureConfig(cmvn=True).validate()
