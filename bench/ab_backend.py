@@ -13,6 +13,8 @@ Modes:
 - ``pallas-direct`` v1 direct hop-block kernel + prep (kernels/fused_mfcc)
 - ``pallas-raw``    v3 raw-audio kernel, zero XLA prep (kernels/fused_raw)
 - ``pallas-raw-dit`` v4 radix-2 DIT on the raw layout (kernels/fused_raw_dit)
+- ``pallas-raw-dit-m`` v5: v4 with the 16 per-phase GEMMs merged into one
+  (P*fpp, L) GEMM per parity via VMEM frame-block assembly
 
 Results decide backend.resolve("auto").
 
@@ -100,6 +102,10 @@ def main():
             def fn(x):
                 return fused_raw_dit.fused_features_raw_dit(
                     x, cfg, tile_t=args.tile, interpret=interp)
+        elif mode == "pallas-raw-dit-m":
+            def fn(x):
+                return fused_raw_dit.fused_features_raw_dit(
+                    x, cfg, tile_t=args.tile, merged=True, interpret=interp)
         else:
             raise ValueError(mode)
         return fn

@@ -1,0 +1,158 @@
+"""On-device A/B of the pitch Viterbi bound (VERDICT r2 item 9).
+
+The pitch pipeline's documented bound (docs/performance.md) is the
+T-step sequential ``lax.scan`` of the Viterbi smoother — per-step work
+is a (B, n_lags, n_lags) broadcast-min (VPU microseconds); what costs is
+T sequential steps of loop overhead.  Two levers, measured here:
+
+- ``unroll`` (exact, bit-identical): pack N steps per compiled loop body.
+- ``viterbi_blocked`` (opt-in, near-exact): cut the sequential chain to
+  block + 2*warm by solving time chunks in parallel with zero-emission-
+  padded warm-up context.  Deviation is confined to zero-evidence
+  silence frames (measured in tests/test_pitch.py; path cost within
+  0.03% of exact on the speech-like fixture).
+
+Stages are timed separately (nccf / viterbi / full pitch_features) so
+the split is committed, not guessed.  Protocol: bench.py scan-carry-v2.
+
+Usage:  python bench/ab_viterbi.py [--scan 10] [--iters 5] [--repeats 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scan", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--modes", nargs="+", default=[
+        "nccf", "viterbi-u1", "viterbi-u8", "viterbi-blocked",
+        "pitch-full", "pitch-full-blocked"])
+    ap.add_argument("--block", type=int, default=256)
+    ap.add_argument("--warm", type=int, default=128)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "ab_viterbi.json"))
+    args = ap.parse_args()
+
+    import jax
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from mfcc_tpu.config import PitchConfig
+    from mfcc_tpu.ops import pitch as pitch_op
+    from mfcc_tpu.ops.resample import resample
+
+    pcfg = PitchConfig().validate()
+    sr = pcfg.sample_rate
+    n = int(args.seconds * sr)
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / sr
+    base = (0.4 * np.sin(2 * np.pi * 180 * t)
+            + 0.15 * np.sin(2 * np.pi * 360 * t)).astype(np.float32)
+    audio = np.tile(base, (args.batch, 1))
+    audio += 0.02 * rng.standard_normal(audio.shape).astype(np.float32)
+    lengths = np.full((args.batch,), n, np.int32)
+
+    dev = jax.devices()[0]
+    audio_d = jax.device_put(jnp.asarray(audio), dev)
+    lengths_d = jax.device_put(jnp.asarray(lengths), dev)
+
+    # precomputed NCCF input for the stage-isolated modes
+    T = pcfg.num_frames(n)
+    flens = jnp.minimum(pitch_op.pitch_frame_counts(lengths_d, pcfg), T)
+    mask = jnp.arange(T, dtype=jnp.int32)[None, :] < flens[:, None]
+    xw = resample(audio_d, pcfg.sample_rate, pcfg.work_rate)
+    nccf_b, _ = jax.jit(lambda x: pitch_op.nccf(x, pcfg, mask))(xw)
+    nccf_b = jnp.where(mask[..., None], nccf_b, 0.0)
+    nccf_b = jax.device_put(jax.block_until_ready(nccf_b), dev)
+
+    def pipeline(mode):
+        if mode == "nccf":
+            def fn(x):
+                b, _ = pitch_op.nccf(x, pcfg, mask)
+                return b
+            return fn, xw
+        if mode.startswith("viterbi-u"):
+            u = int(mode[len("viterbi-u"):])
+            return (lambda s: pitch_op.viterbi(s, pcfg, unroll=u)), nccf_b
+        if mode == "viterbi-blocked":
+            return (lambda s: pitch_op.viterbi_blocked(
+                s, pcfg, block=args.block, warm=args.warm)), nccf_b
+        if mode == "pitch-full":
+            def fn(x):
+                f, _, _ = pitch_op.pitch_features(x, lengths_d, pcfg)
+                return f
+            return fn, audio_d
+        if mode == "pitch-full-blocked":
+            def fn(x):
+                f, _, _ = pitch_op.pitch_features(
+                    x, lengths_d, pcfg, viterbi_block=args.block,
+                    viterbi_warm=args.warm)
+                return f
+            return fn, audio_d
+        raise ValueError(mode)
+
+    def scanned(fn, inp):
+        def g():
+            def body(carry, _):
+                out = fn(inp + carry)
+                return (out.ravel()[0] * inp.dtype.type(1e-30)).astype(
+                    inp.dtype), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), inp.dtype), None,
+                                length=args.scan)
+            return c
+        return jax.jit(g)
+
+    audio_sec = args.batch * args.seconds * args.scan * args.iters
+
+    def run_mode(mode):
+        fn, inp = pipeline(mode)
+        g = scanned(fn, inp)
+        t0 = time.perf_counter()
+        np.asarray(g())
+        compile_s = time.perf_counter() - t0
+        reps = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(args.iters):
+                out = g()
+            np.asarray(out)
+            reps.append(audio_sec / (time.perf_counter() - t0))
+        return {
+            "audio_sec_per_s": [round(r, 1) for r in reps],
+            "median": round(statistics.median(reps), 1),
+            "compile_or_cache_load_s": round(compile_s, 2),
+        }
+
+    results = {}
+    for mode in args.modes:
+        results[mode] = run_mode(mode)
+        print(json.dumps({"mode": mode, **results[mode]}), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump({"device": str(dev), "batch": args.batch,
+                   "utt_seconds": args.seconds, "scan": args.scan,
+                   "iters": args.iters, "repeats": args.repeats,
+                   "block": args.block, "warm": args.warm,
+                   "n_lags": pcfg.max_lag - pcfg.min_lag + 1,
+                   "frames": int(T), "protocol": "scan-carry-v2",
+                   "results": results}, f, indent=1)
+    print(json.dumps({m: results[m]["median"] for m in results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,22 +29,26 @@ def deltas(feat: jnp.ndarray, window: int = 2,
     T = feat.shape[-2]
     denom = 2.0 * sum(n * n for n in range(1, window + 1))
     t = jnp.arange(T, dtype=jnp.int32)
-    if lengths is None:
-        hi_cap = T - 1
-    else:
-        hi_cap = jnp.maximum(lengths, 1).astype(jnp.int32) - 1
-        hi_cap = hi_cap[..., None]  # broadcast over time axis
+    # Gather-free: the shift-and-clip indexing is edge-padded concat +
+    # static slice (pure relayout); only the ragged end-edge needs the
+    # per-utterance last valid frame — ONE (., 1, F) pick instead of a
+    # (., T, F) take_along_axis, which lowers to a scalar loop on TPU
+    # (measured as the pitch post-stage bound, bench/ab_viterbi.json).
+    if lengths is not None:
+        hi_cap = jnp.maximum(lengths, 1).astype(jnp.int32) - 1  # (...,)
+        onehot = (t == hi_cap[..., None]).astype(feat.dtype)    # (..., T)
+        last = jnp.einsum("...t,...tf->...f", onehot, feat)[..., None, :]
     out = jnp.zeros_like(feat)
     for n in range(1, window + 1):
-        fwd = jnp.minimum(t + n, hi_cap)
-        bwd = jnp.maximum(t - n, 0)
-        if lengths is None:
-            plus = feat[..., fwd, :]
-            minus = feat[..., bwd, :]
-        else:
-            plus = jnp.take_along_axis(feat, fwd[..., None], axis=-2)
-            bwd_b = jnp.broadcast_to(bwd, fwd.shape)
-            minus = jnp.take_along_axis(feat, bwd_b[..., None], axis=-2)
+        plus = jnp.concatenate(
+            [feat[..., n:, :], jnp.repeat(feat[..., -1:, :], n, axis=-2)],
+            axis=-2)
+        minus = jnp.concatenate(
+            [jnp.repeat(feat[..., :1, :], n, axis=-2), feat[..., :-n, :]],
+            axis=-2)
+        if lengths is not None:
+            ragged_edge = (t + n)[:, None] > hi_cap[..., None, None]
+            plus = jnp.where(ragged_edge, last, plus)
         out = out + n * (plus - minus)
     return out / jnp.asarray(denom, feat.dtype)
 

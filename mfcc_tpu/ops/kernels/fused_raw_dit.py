@@ -90,6 +90,7 @@ class _PlanDit(NamedTuple):
     log_floor: float
     rel_floor: float
     precision: str
+    merged: bool      # one (P*fpp, L) GEMM per parity vs P small ones
 
 
 def raw_dit_kernel_eligible(cfg: FeatureConfig) -> bool:
@@ -109,7 +110,8 @@ def raw_dit_kernel_eligible(cfg: FeatureConfig) -> bool:
     return tail <= rpp * LANE
 
 
-def _plan(cfg: FeatureConfig, tile_t: int, apply_dct: bool):
+def _plan(cfg: FeatureConfig, tile_t: int, apply_dct: bool,
+          merged: bool = False):
     hop_h = cfg.hop_len // 2
     P = LANE // math.gcd(hop_h, LANE)
     rpp = hop_h * P // LANE
@@ -128,7 +130,7 @@ def _plan(cfg: FeatureConfig, tile_t: int, apply_dct: bool):
         preemph=cfg.preemph, log_floor=cfg.log_floor,
         rel_floor=(0.0 if cfg.dynamic_range_db is None
                    else 10.0 ** (-cfg.dynamic_range_db / 10.0)),
-        precision=cfg.matmul_precision)
+        precision=cfg.matmul_precision, merged=merged)
 
 
 def _phase_gemm(W, Wn, basis, lo, L, row_lanes, prec):
@@ -152,6 +154,29 @@ def _phase_gemm(W, Wn, basis, lo, L, row_lanes, prec):
         en = (jnp.sum(A * A, axis=1, keepdims=True)
               + jnp.sum(Bp * Bp, axis=1, keepdims=True))
     return S, en
+
+
+def _assemble_phases(Wp, Wpn, L, hop_h, P, row_lanes):
+    """VMEM frame-block assembly: stack every phase's lane slice into ONE
+    (P*fpp, L) matrix (phase-major rows: row p*fpp + f = frame f*P + p).
+
+    This re-materializes frames — but in VMEM, feeding the MXU directly,
+    which is the opposite of the HBM frame materialization the raw layout
+    exists to avoid: the copies replace the per-phase lane realignments
+    the compiler already had to insert in front of each of the 16 small
+    GEMMs, and buy ONE large GEMM per parity (M = P*fpp), amortizing the
+    basis (RHS) load P-fold and deleting the crossing phases' split
+    K-padding (160->256 + 40->128 became part of one K=L GEMM)."""
+    rows = []
+    for p in range(P):
+        lo = p * hop_h
+        hi = lo + L
+        if hi <= row_lanes:
+            rows.append(Wp[:, lo:hi])
+        else:
+            rows.append(jnp.concatenate(
+                [Wp[:, lo:row_lanes], Wpn[:, : hi - row_lanes]], axis=1))
+    return jnp.concatenate(rows, axis=0) if P > 1 else rows[0]
 
 
 def _kernel(*refs, plan: _PlanDit, hop_h: int):
@@ -226,6 +251,48 @@ def _kernel(*refs, plan: _PlanDit, hop_h: int):
     st = tw[1:2, :]
     lane_h = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
     smask = ((lane_h >= 1) & (lane_h <= Hh - 1)).astype(jnp.float32)
+
+    if plan.merged:
+        # ---- ONE packed half-DFT GEMM per parity on VMEM-assembled
+        # frame blocks (see _assemble_phases); combine runs on the full
+        # (P*fpp, H) matrices — identical math, P-fold fewer op launches.
+        Fe = _assemble_phases(We, Wen, plan.Le, hop_h, P, row_lanes)
+        Fo = _assemble_phases(Wo, Won, plan.Lo, hop_h, P, row_lanes)
+        Se = jnp.dot(Fe, bas_e, preferred_element_type=jnp.float32,
+                     precision=prec)
+        So = jnp.dot(Fo, bas_o, preferred_element_type=jnp.float32,
+                     precision=prec)
+        Es = pltpu.roll(Se, shift=Hh, axis=1) * smask
+        Os = pltpu.roll(So, shift=Hh, axis=1) * smask
+        Br = ct * So - st * Os
+        Bi = ct * Os + st * So
+        p_plus = (Se + Br) ** 2 + (Es + Bi) ** 2
+        p_minus = (Se - Br) ** 2 + (Es - Bi) ** 2
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, p_plus.shape, 1)
+        pcat = jnp.where(lane2 <= Hh, p_plus,
+                         pltpu.roll(p_minus, shift=Hh, axis=1))
+        e = (jnp.dot(pcat, mcat[:], preferred_element_type=jnp.float32,
+                     precision=prec)
+             + p_minus[:, :1] * mny[0:1, :])
+        if plan.rel_floor > 0.0:
+            rel = jnp.max(e, axis=1, keepdims=True) * plan.rel_floor
+            e = jnp.maximum(e, rel)
+        logmel = _acc_log(jnp.maximum(e, plan.log_floor))
+        f = (jnp.dot(logmel, dctm[:], preferred_element_type=jnp.float32,
+                     precision=prec)
+             if plan.apply_dct else logmel)
+        if plan.append_energy:
+            en = (jnp.sum(Fe * Fe, axis=1, keepdims=True)
+                  + jnp.sum(Fo * Fo, axis=1, keepdims=True))
+            loge = _acc_log(jnp.maximum(en, plan.log_floor))
+            col = jax.lax.broadcasted_iota(jnp.int32, f.shape, 1)
+            f = jnp.where(col == 0, loge, f)
+        # phase-major rows (p*fpp + f) -> natural frame order (f*P + p)
+        feat = (f.reshape(P, fpp, plan.out_pad).transpose(1, 0, 2)
+                 .reshape(plan.tile_t, plan.out_pad)
+                if P > 1 else f)
+        out_ref[0, :, :] = feat
+        return
 
     feats = []
     energies_p = []
@@ -336,6 +403,7 @@ def _matrices(cfg: FeatureConfig, mels_pad: int, out_pad: int,
 def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
                            apply_dct: bool = True,
                            tile_t: int | None = None,
+                           merged: bool = False,
                            interpret: bool = False) -> jnp.ndarray:
     """(B, N) RAW audio (dither already applied if any) -> (B, T, n_out).
 
@@ -361,7 +429,7 @@ def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
         # tile pads 998 -> 2048 COMPUTED frames — overcompute, which the
         # round_up cap below avoids for any T).
         tile_t = min(1024, _round_up(T, 8 * P))
-    plan = _plan(cfg, tile_t, apply_dct)
+    plan = _plan(cfg, tile_t, apply_dct, merged=merged)
 
     tiles = _round_up(T, plan.tile_t) // plan.tile_t
     rows_per_tile = plan.tile_t * hop_h // LANE
