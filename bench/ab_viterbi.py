@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--modes", nargs="+", default=[
         "nccf", "viterbi-u1", "viterbi-u8", "viterbi-blocked",
         "pitch-full", "pitch-full-blocked"])
+    ap.add_argument("--long-seconds", type=float, default=360.0,
+                    help="utterance length for the longform-* modes (B=1)")
     ap.add_argument("--block", type=int, default=256)
     ap.add_argument("--warm", type=int, default=128)
     ap.add_argument("--out", default=os.path.join(
@@ -91,6 +93,22 @@ def main():
         if mode == "viterbi-blocked":
             return (lambda s: pitch_op.viterbi_blocked(
                 s, pcfg, block=args.block, warm=args.warm)), nccf_b
+        if mode.startswith("longform-"):
+            # B=1 single long stream: the regime where the exact scan has
+            # no batch parallelism to amortize its T-step chain and the
+            # blocked variant's C chunks supply the missing parallelism.
+            nl = int(args.long_seconds * pcfg.work_rate)
+            Tl = (nl - (pcfg.frame_len_w + pcfg.max_lag)) // pcfg.hop_len_w + 1
+            rngl = np.random.default_rng(1)
+            sl = jnp.asarray(
+                0.5 * rngl.standard_normal((1, Tl, nccf_b.shape[-1]))
+                .astype(np.float32))
+            if mode == "longform-exact":
+                return (lambda s: pitch_op.viterbi(s, pcfg)), sl
+            if mode == "longform-blocked":
+                return (lambda s: pitch_op.viterbi_blocked(
+                    s, pcfg, block=args.block, warm=args.warm)), sl
+            raise ValueError(mode)
         if mode == "pitch-full":
             def fn(x):
                 f, _, _ = pitch_op.pitch_features(x, lengths_d, pcfg)
@@ -116,9 +134,10 @@ def main():
             return c
         return jax.jit(g)
 
-    audio_sec = args.batch * args.seconds * args.scan * args.iters
-
     def run_mode(mode):
+        per_iter = (args.long_seconds if mode.startswith("longform-")
+                    else args.batch * args.seconds)
+        audio_sec = per_iter * args.scan * args.iters
         fn, inp = pipeline(mode)
         g = scanned(fn, inp)
         t0 = time.perf_counter()

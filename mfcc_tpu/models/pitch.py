@@ -62,13 +62,19 @@ def align_pitch(feat_p: jnp.ndarray, flens_p: jnp.ndarray, T: int):
     zero pitch frames get zeros.
     """
     B, Tp, F = feat_p.shape
-    t = jnp.arange(T, dtype=jnp.int32)[None, :]
-    last = jnp.maximum(flens_p[:, None] - 1, 0)
-    idx = jnp.minimum(t, last)                       # (B, T)
     if Tp == 0:
         return jnp.zeros((B, T, F), feat_p.dtype)
-    out = jnp.take_along_axis(feat_p, idx[..., None], axis=1)
-    return jnp.where((flens_p[:, None, None] > 0), out, 0.0)
+    # Gather-free (same rationale as ops/deltas.py): out[t] =
+    # feat_p[min(t, last)] = static prefix + one last-valid-frame pick.
+    t = jnp.arange(T, dtype=jnp.int32)
+    last = jnp.maximum(flens_p - 1, 0).astype(jnp.int32)        # (B,)
+    onehot = (jnp.arange(Tp, dtype=jnp.int32)[None, :]
+              == last[:, None]).astype(feat_p.dtype)
+    lastf = jnp.einsum("bt,btf->bf", onehot, feat_p)[:, None, :]
+    base = (feat_p[:, :T] if T <= Tp else jnp.concatenate(
+        [feat_p, jnp.repeat(feat_p[:, -1:], T - Tp, axis=1)], axis=1))
+    out = jnp.where(t[None, :, None] > last[:, None, None], lastf, base)
+    return jnp.where(flens_p[:, None, None] > 0, out, 0.0)
 
 
 @partial(jax.jit, static_argnames=("pcfg",))

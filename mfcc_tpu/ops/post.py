@@ -153,17 +153,33 @@ def splice(feat: jnp.ndarray, flens: jnp.ndarray, left: int = 3,
     neighbor indices clipped to [0, flen-1] per utterance (edge
     replication at the true ragged boundary — same convention as the
     delta stage).  Padded frames stay zero.
+
+    Gather-free (same rationale as ops/deltas.py): static shifts via
+    edge-padded concat + slice; the ragged end-edge is one per-utterance
+    last-valid-frame pick, not a (B, T, F) take_along_axis per column.
     """
     B, T, F = feat.shape
-    t = jnp.arange(T, dtype=jnp.int32)[None, :]
-    hi_cap = jnp.maximum(flens[:, None], 1) - 1
+    t = jnp.arange(T, dtype=jnp.int32)
+    hi_cap = jnp.maximum(flens, 1).astype(jnp.int32) - 1        # (B,)
+    onehot = (t[None, :] == hi_cap[:, None]).astype(feat.dtype)
+    last = jnp.einsum("bt,btf->bf", onehot, feat)[:, None, :]   # (B,1,F)
     cols = []
     for off in range(-left, right + 1):
-        idx = jnp.clip(t + off, 0, None)
-        idx = jnp.minimum(idx, hi_cap)
-        cols.append(jnp.take_along_axis(feat, idx[..., None], axis=1))
+        if off < 0:
+            col = jnp.concatenate(
+                [jnp.repeat(feat[:, :1], -off, axis=1), feat[:, :off]],
+                axis=1)
+        elif off == 0:
+            col = feat
+        else:
+            col = jnp.concatenate(
+                [feat[:, off:], jnp.repeat(feat[:, -1:], off, axis=1)],
+                axis=1)
+            edge = (t[None, :, None] + off) > hi_cap[:, None, None]
+            col = jnp.where(edge, last, col)
+        cols.append(col)
     out = jnp.concatenate(cols, axis=-1)
-    mask = t < flens[:, None]
+    mask = t[None, :] < flens[:, None]
     return jnp.where(mask[..., None], out, 0.0)
 
 
