@@ -109,6 +109,32 @@ def main():
                 return (lambda s: pitch_op.viterbi_blocked(
                     s, pcfg, block=args.block, warm=args.warm)), sl
             raise ValueError(mode)
+        if mode == "resample":
+            return (lambda x: resample(x, pcfg.sample_rate,
+                                       pcfg.work_rate)), audio_d
+        if mode == "post":
+            # everything after the Viterbi: path values + parabolic +
+            # POV + weighted sliding mean + delta, given (nccf_p, path)
+            path0 = jax.jit(lambda s: pitch_op.viterbi(s, pcfg))(nccf_b)
+            path0 = jax.block_until_ready(path0)
+            from mfcc_tpu.ops import deltas as deltas_op
+            from mfcc_tpu.ops import xmath
+
+            def fn(nccf_p):
+                ym, c, yp = pitch_op._path_neighborhood(nccf_p, path0)
+                dlag = pitch_op._parabolic_from(ym, c, yp, path0,
+                                                nccf_p.shape[-1])
+                lag = pcfg.min_lag + path0.astype(jnp.float32) + dlag
+                log_f0 = xmath.accurate_log(
+                    jnp.float32(pcfg.work_rate) / lag)
+                pov = pitch_op.pov_feature(c)
+                wgt = jnp.clip(c, 0.0, 1.0) ** 2 * mask.astype(c.dtype)
+                norm = log_f0 - pitch_op.weighted_sliding_mean(
+                    log_f0, wgt, pcfg.norm_window)
+                d = deltas_op.deltas(log_f0[..., None], pcfg.delta_window,
+                                     lengths=flens)[..., 0]
+                return jnp.stack([pov, norm, d], axis=-1)
+            return fn, nccf_b
         if mode == "pitch-full":
             def fn(x):
                 f, _, _ = pitch_op.pitch_features(x, lengths_d, pcfg)

@@ -61,8 +61,11 @@ def _features_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
         from ..ops import kernels
         squeeze = x.ndim == 1
         xb = x[None, :] if squeeze else x
-        # Kernel choice (bench/ab_backend.json r3, v5e medians): the v4
-        # raw-DIT kernel (410.7k audio-sec/s) wins for CEPSTRAL outputs;
+        # Kernel choice (bench/ab_backend.json r3, v5e medians): the
+        # raw-DIT kernel wins for CEPSTRAL outputs — v5 merged-phase
+        # variant 431.7k audio-sec/s vs v4 per-phase 411.0k (merged=True
+        # routes to ONE (P*fpp, L) GEMM per parity when the plan allows;
+        # ineligible plans silently keep the per-phase path, same math);
         # log-mel outputs stay on the v3 raw kernel (356.3k) because the
         # DIT twiddle combine costs one extra f32 rounding stage in deep
         # spectral valleys (docs/conventions.md accuracy policy) and the
@@ -70,7 +73,7 @@ def _features_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
         if apply_dct and kernels.fused_raw_dit.raw_dit_kernel_eligible(cfg):
             with jax.named_scope("fused_raw_dit_kernel"):
                 feat = kernels.fused_raw_dit.fused_features_raw_dit(
-                    xb, cfg, apply_dct=True,
+                    xb, cfg, apply_dct=True, merged=True,
                     interpret=backend_lib.pallas_interpret())
         elif kernels.fused_raw.raw_kernel_eligible(cfg):
             with jax.named_scope("fused_raw_kernel"):

@@ -166,16 +166,24 @@ def _assemble_phases(Wp, Wpn, L, hop_h, P, row_lanes):
     the compiler already had to insert in front of each of the 16 small
     GEMMs, and buy ONE large GEMM per parity (M = P*fpp), amortizing the
     basis (RHS) load P-fold and deleting the crossing phases' split
-    K-padding (160->256 + 40->128 became part of one K=L GEMM)."""
+    K-padding (160->256 + 40->128 became part of one K=L GEMM).
+
+    Layout discipline: each phase window is built by a CYCLIC lane roll
+    (offset-0 result layout) + select — never by lane-dim concat of
+    unaligned slices, which Mosaic refuses ("result/input offset
+    mismatch on non-concat dimension"); the final phase stack is a
+    sublane-dim concat of identically-laid-out pieces."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Wp.shape[0], row_lanes), 1)
     rows = []
     for p in range(P):
         lo = p * hop_h
-        hi = lo + L
-        if hi <= row_lanes:
-            rows.append(Wp[:, lo:hi])
-        else:
-            rows.append(jnp.concatenate(
-                [Wp[:, lo:row_lanes], Wpn[:, : hi - row_lanes]], axis=1))
+        k1 = row_lanes - lo                 # lanes available in this row
+        # roll is cyclic and requires shift >= 0: -lo == k1 (mod lanes)
+        w = pltpu.roll(Wp, shift=k1, axis=1) if lo else Wp
+        if k1 < L:                          # crossing phase: tail from Wpn
+            wn = pltpu.roll(Wpn, shift=k1, axis=1)
+            w = jnp.where(lane < k1, w, wn)
+        rows.append(w[:, :L])
     return jnp.concatenate(rows, axis=0) if P > 1 else rows[0]
 
 
@@ -252,7 +260,9 @@ def _kernel(*refs, plan: _PlanDit, hop_h: int):
     lane_h = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
     smask = ((lane_h >= 1) & (lane_h <= Hh - 1)).astype(jnp.float32)
 
-    if plan.merged:
+    # merged needs the whole frame to fit one period row (roll+select
+    # cannot widen lanes) and >1 phase to have anything to merge
+    if plan.merged and P > 1 and max(plan.Le, plan.Lo) <= row_lanes:
         # ---- ONE packed half-DFT GEMM per parity on VMEM-assembled
         # frame blocks (see _assemble_phases); combine runs on the full
         # (P*fpp, H) matrices — identical math, P-fold fewer op launches.

@@ -135,6 +135,24 @@ def resample(x: jnp.ndarray, sr_in: int, sr_out: int, *,
     H, lo = _polyphase_matrix(L, M)
     W = H.shape[0]
     n = x.shape[-1]
+
+    # Super-block the polyphase bank so the GEMM has >= ~128 output
+    # columns.  For small L (e.g. 16k->4k has L=1) the naive (W, L)
+    # matrix uses 1..L of 128 MXU lanes — measured as ~2/3 of the whole
+    # pitch pipeline's time.  Stacking R decimation steps per GEMM row
+    # (block-Toeplitz H2: column r*L+p = H[:, p] shifted r*M rows) is the
+    # SAME per-output dot product — the band's structural zeros add
+    # exact 0.0 terms — so outputs are bit-identical, with R*L lanes
+    # live.  Geometry below is unchanged under (L, M, W, H) ->
+    # (R*L, R*M, (R-1)*M + W, H2).
+    R = max(1, -(-128 // L))
+    if R > 1:
+        W2 = (R - 1) * M + W
+        H2 = np.zeros((W2, R * L), H.dtype)
+        for r in range(R):
+            H2[r * M: r * M + W, r * L: (r + 1) * L] = H
+        L, M, W, H = R * L, R * M, W2, H2
+
     n_out, nb, pad_l, start0, need = _frame_geometry(n, L, M, W, lo)
     if n_out == 0 or n == 0:
         return jnp.zeros((*x.shape[:-1], 0), jnp.float32)

@@ -328,6 +328,42 @@ def test_raw_dit_kernel_variants_vs_oracle(rng, variant):
     np.testing.assert_allclose(got[0] / lift, want / lift, atol=ATOL)
 
 
+@pytest.mark.parametrize("variant", [
+    dict(),                               # hop 160: crossing phases 6,7
+    dict(frame_ms=25.0625),               # odd frame_len (Le != Lo)
+    dict(append_energy=True),             # energy column via Fe/Fo sums
+    dict(frame_ms=32.0, hop_ms=16.0),     # P=1: no phase concat at all
+    dict(dynamic_range_db=80.0),
+])
+def test_raw_dit_kernel_merged_matches_split(rng, variant):
+    """v5 merged-phase path (ONE (P*fpp, L) GEMM per parity via VMEM
+    roll+select frame-block assembly) is value-equivalent to the v4
+    per-phase path, and both to the oracle."""
+    cfg = FeatureConfig(**variant).validate()
+    if not fused_raw_dit.raw_dit_kernel_eligible(cfg):
+        pytest.skip("config not raw-DIT-kernel eligible")
+    n = cfg.sample_rate
+    x = (rng.standard_normal((2, n)) * 0.3).astype(np.float32)
+    split = np.asarray(fused_raw_dit.fused_features_raw_dit(
+        jnp.asarray(x), cfg, interpret=True))
+    merged = np.asarray(fused_raw_dit.fused_features_raw_dit(
+        jnp.asarray(x), cfg, merged=True, interpret=True))
+    np.testing.assert_allclose(merged, split, atol=2e-5)
+    want = oracle.mfcc(x[0].astype(np.float64), cfg)
+    lift = oracle.lifter_coeffs(cfg.n_mfcc, cfg.lifter)
+    np.testing.assert_allclose(merged[0] / lift, want / lift, atol=ATOL)
+
+
+def test_raw_dit_kernel_merged_multi_tile(rng):
+    x = (rng.standard_normal((2, 16000)) * 0.3).astype(np.float32)
+    got = np.asarray(fused_raw_dit.fused_features_raw_dit(
+        jnp.asarray(x), CFG, tile_t=64, merged=True, interpret=True))
+    assert got.shape == (2, 98, 13)
+    for b in range(2):
+        want = oracle.mfcc(x[b].astype(np.float64), CFG)
+        np.testing.assert_allclose(got[b], want, atol=ATOL)
+
+
 def test_raw_dit_kernel_logmel_mode(rng):
     # The DIT twiddle combine adds one f32 rounding stage over v3's
     # single-GEMM accumulation, so v4's log-mel valley floor is ~2x
