@@ -98,6 +98,10 @@ def main():
             def fn(x):
                 return fused_raw.fused_features_raw(x, cfg, tile_t=args.tile,
                                                     interpret=interp)
+        elif mode == "pallas-raw-m":
+            def fn(x):
+                return fused_raw.fused_features_raw(
+                    x, cfg, tile_t=args.tile, merged=True, interpret=interp)
         elif mode == "pallas-raw-dit":
             def fn(x):
                 return fused_raw_dit.fused_features_raw_dit(

@@ -84,6 +84,7 @@ class _PlanRaw(NamedTuple):
     log_floor: float
     rel_floor: float
     precision: str
+    merged: bool      # one (P*fpp, frame_len) GEMM vs P small ones
 
 
 def raw_kernel_eligible(cfg: FeatureConfig) -> bool:
@@ -100,7 +101,8 @@ def raw_kernel_eligible(cfg: FeatureConfig) -> bool:
     return tail <= rpp * LANE
 
 
-def _plan(cfg: FeatureConfig, tile_t: int | None, apply_dct: bool):
+def _plan(cfg: FeatureConfig, tile_t: int | None, apply_dct: bool,
+          merged: bool = False):
     P = LANE // math.gcd(cfg.hop_len, LANE)
     rpp = cfg.hop_len * P // LANE
     assert tile_t % (8 * P) == 0, "tile must be a multiple of 8 phases"
@@ -118,7 +120,7 @@ def _plan(cfg: FeatureConfig, tile_t: int | None, apply_dct: bool):
         log_floor=cfg.log_floor,
         rel_floor=(0.0 if cfg.dynamic_range_db is None
                    else 10.0 ** (-cfg.dynamic_range_db / 10.0)),
-        precision=cfg.matmul_precision)
+        precision=cfg.matmul_precision, merged=merged)
 
 
 def _kernel(*refs, plan: _PlanRaw, frame_len: int, hop: int):
@@ -194,6 +196,42 @@ def _kernel(*refs, plan: _PlanRaw, frame_len: int, hop: int):
     # padding the split costs the same MACs as one padded GEMM).
     nb = plan.bins_lo
     bas = basis[:]
+
+    # merged path: one (P*fpp, frame_len) GEMM via VMEM roll+select
+    # frame-block assembly (same lever as fused_raw_dit v5; measured
+    # there +5% — here it also collapses the P rank-1 Nyquist rowsums
+    # into one masked multiply because frames are materialized).
+    if plan.merged and P > 1 and frame_len <= row_lanes:
+        from .fused_raw_dit import _assemble_phases
+        F = _assemble_phases(W, Wn, frame_len, hop, P, row_lanes)
+        S = jnp.dot(F, bas, preferred_element_type=jnp.float32,
+                    precision=prec)                   # (P*fpp, 2*nb)
+        # chiw[0] holds the Nyquist chi column at lanes [0, frame_len)
+        # (phase 0 starts at lane 0), so it doubles as the frame-aligned
+        # chi row for the materialized frames.
+        s_hi = jnp.sum(F * chiw[0][:, :frame_len], axis=1, keepdims=True)
+        re, im = S[:, :nb], S[:, nb:]
+        p_lo = re * re + im * im
+        e = (jnp.dot(p_lo, mlo[:], preferred_element_type=jnp.float32,
+                     precision=prec)
+             + (s_hi * s_hi) * mhi[0:1, :])
+        if plan.rel_floor > 0.0:
+            rel = jnp.max(e, axis=1, keepdims=True) * plan.rel_floor
+            e = jnp.maximum(e, rel)
+        logmel = _acc_log(jnp.maximum(e, plan.log_floor))
+        f = (jnp.dot(logmel, dctm[:], preferred_element_type=jnp.float32,
+                     precision=prec)
+             if plan.apply_dct else logmel)
+        if plan.append_energy:
+            en = jnp.sum(F * F, axis=1, keepdims=True)
+            loge = _acc_log(jnp.maximum(en, plan.log_floor))
+            col = jax.lax.broadcasted_iota(jnp.int32, f.shape, 1)
+            f = jnp.where(col == 0, loge, f)
+        feat = (f.reshape(P, fpp, plan.out_pad).transpose(1, 0, 2)
+                 .reshape(plan.tile_t, plan.out_pad))
+        out_ref[0, :, :] = feat
+        return
+
     feats = []
     energies_p = []
     cross_i = 0
@@ -294,6 +332,7 @@ def _matrices(cfg: FeatureConfig, mels_pad: int, out_pad: int,
 def fused_features_raw(x: jnp.ndarray, cfg: FeatureConfig, *,
                        apply_dct: bool = True,
                        tile_t: int | None = None,
+                       merged: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
     """(B, N) RAW audio (dither already applied if any) -> (B, T, n_out).
 
@@ -316,7 +355,7 @@ def fused_features_raw(x: jnp.ndarray, cfg: FeatureConfig, *,
         # 256 -> 342.5k audio-sec/s/chip.
         P = LANE // math.gcd(cfg.hop_len, LANE)
         tile_t = min(1024, _round_up(T, 8 * P))
-    plan = _plan(cfg, tile_t, apply_dct)
+    plan = _plan(cfg, tile_t, apply_dct, merged=merged)
     hop = cfg.hop_len
 
     tiles = _round_up(T, plan.tile_t) // plan.tile_t

@@ -110,18 +110,24 @@ def nccf(xw: jnp.ndarray, pcfg: PitchConfig, mask: jnp.ndarray, *,
     B, Nw = xw.shape
     T = mask.shape[1]
 
-    # extended frames (B, T, n): static gather, same idiom as framing.frame
-    idx = (np.arange(T) * hop)[:, None] + np.arange(n)[None, :]
-    idx = np.minimum(idx, max(Nw - 1, 0))
-    E = xw[:, idx]                                     # (B, T, n)
-    A = jnp.where(jnp.arange(n) < w, E, 0.0)           # windowed part
+    # extended frames (B, T, K) via the spectral stage's zero-copy
+    # hop-block concat (static slices, no TPU gather), K = n_blocks*hop
+    # >= n.  Columns past n are zeroed once; the DFT matrices get zero
+    # rows up to K so those columns contribute exactly 0 to the GEMMs
+    # (same trick as spectrum._concat_basis_cached).  Frames past the
+    # valid region read zero-padding instead of the old
+    # clamp-replication — they are masked to 0 downstream either way
+    # (flat-zero emission invariance, module docstring).
+    from .spectrum import _frames_by_concat
+    n_blocks = -(-max(n, Nc) // hop)
+    K = n_blocks * hop
+    E = _frames_by_concat(xw, hop, T, n_blocks)        # (B, T, K)
+    col = jnp.arange(K)
+    E = jnp.where(col < n, E, 0.0)
+    A = jnp.where(col < w, E, 0.0)                     # windowed part
 
-    if Nc > n:
-        pad = [(0, 0), (0, 0), (0, Nc - n)]
-        E = jnp.pad(E, pad)
-        A = jnp.pad(A, pad)
-
-    cm, sm = jnp.asarray(cos_m), jnp.asarray(sin_m)
+    rp = ((0, K - Nc), (0, 0))                         # zero rows Nc -> K
+    cm, sm = jnp.asarray(np.pad(cos_m, rp)), jnp.asarray(np.pad(sin_m, rp))
     re_a = jnp.matmul(A, cm, precision=precision)
     im_a = -jnp.matmul(A, sm, precision=precision)
     re_e = jnp.matmul(E, cm, precision=precision)
@@ -197,6 +203,13 @@ def viterbi_blocked(nccf_b: jnp.ndarray, pcfg: PitchConfig, *,
     determined and any path is near-equal cost).  tests/test_pitch.py
     measures it; callers opt in (execution strategy, not contract —
     same policy as backend/tile_t kwargs).
+
+    When to opt in (measured, bench/ab_viterbi.json): it LOSES at batch
+    64 x 10 s (92k vs 211k audio-sec/s — the chunk windows cost real
+    bandwidth and B already fills the VPU) and WINS 4.0x single-stream
+    long-form (B=1, 6 min: 14.3k vs 3.6k — chunk parallelism replaces
+    the missing batch dim).  Rule of thumb: use for B * C >> 64, i.e.
+    few streams x many chunks.
     """
     B, T, n = nccf_b.shape
     if T <= block + 2 * warm:

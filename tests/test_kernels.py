@@ -243,6 +243,30 @@ def test_raw_kernel_multi_batch_multi_tile(rng):
         np.testing.assert_allclose(got[b], want, atol=ATOL)
 
 
+@pytest.mark.parametrize("variant", [
+    dict(),                               # hop 160: P=4, phases 2,3 cross
+    dict(append_energy=True),
+    dict(n_mels=80, dynamic_range_db=50.0),
+])
+def test_raw_kernel_merged_matches_split(rng, variant):
+    """v3 merged-phase path (one (P*fpp, frame_len) GEMM via VMEM
+    roll+select assembly — the fused_raw_dit v5 lever) is
+    value-equivalent to the per-phase path."""
+    cfg = FeatureConfig(**variant).validate()
+    if not fused_raw.raw_kernel_eligible(cfg):
+        pytest.skip("config not raw-kernel eligible")
+    dct = "n_mels" not in variant
+    x = (rng.standard_normal((2, 16000)) * 0.3).astype(np.float32)
+    split = np.asarray(fused_raw.fused_features_raw(
+        jnp.asarray(x), cfg, apply_dct=dct, interpret=True))
+    merged = np.asarray(fused_raw.fused_features_raw(
+        jnp.asarray(x), cfg, apply_dct=dct, merged=True, interpret=True))
+    np.testing.assert_allclose(merged, split, atol=1e-4)
+    want = (oracle.mfcc if dct else oracle.log_mel)(
+        x[0].astype(np.float64), cfg)
+    np.testing.assert_allclose(merged[0], want, atol=ATOL)
+
+
 def test_raw_kernel_ineligible_configs():
     assert not fused_raw.raw_kernel_eligible(
         FeatureConfig(sample_rate=22050))       # hop 220 -> P=32
