@@ -118,7 +118,12 @@ def main():
     dt = scan_timed(lambda x: mfcc_model.mfcc_batch(x, ld, cfg)[0])
     results["config2_batched_mfcc13"] = {
         "audio_sec_per_s": audio_sec_total / dt, "wall_s_per_batch": dt,
-        "protocol": "scan-carry-v2"}
+        "protocol": "scan-carry-v2",
+        "note": "REAL audio-sec over ragged batch (lengths n/2..n, mean "
+                "0.75n) while compute runs the padded (B, n) program — "
+                "i.e. the utilization-discounted corpus rate; bench.py's "
+                "headline measures the same program on full-length "
+                "utterances (425k r3)"}
 
     # config 3: log-mel-80 + deltas (scan protocol).  Accuracy reported
     # for the plain definition AND with an 80 dB dynamic-range floor:
@@ -155,6 +160,9 @@ def main():
     results["pitch_3dim"] = {
         "audio_sec_per_s": audio_sec_total / dtp,
         "wall_s_per_batch": dtp,
+        "note": "ragged real-audio rate (utilization-discounted, see "
+                "config2 note); full-length standalone rate is "
+                "bench/ab_viterbi.json pitch-full (98.8k r3)",
         "protocol": "scan-carry-v2",
         "max_abs_error_vs_oracle": float(
             np.abs(gotp - wantp[: gotp.shape[0]]).max())}
