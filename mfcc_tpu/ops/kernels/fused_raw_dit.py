@@ -91,6 +91,7 @@ class _PlanDit(NamedTuple):
     rel_floor: float
     precision: str
     merged: bool      # one (P*fpp, L) GEMM per parity vs P small ones
+    pm_out: bool      # write phase-major rows; wrapper deinterleaves
 
 
 def raw_dit_kernel_eligible(cfg: FeatureConfig) -> bool:
@@ -111,7 +112,7 @@ def raw_dit_kernel_eligible(cfg: FeatureConfig) -> bool:
 
 
 def _plan(cfg: FeatureConfig, tile_t: int, apply_dct: bool,
-          merged: bool = False):
+          merged: bool = False, pm_out: bool = False):
     hop_h = cfg.hop_len // 2
     P = LANE // math.gcd(hop_h, LANE)
     rpp = hop_h * P // LANE
@@ -130,7 +131,8 @@ def _plan(cfg: FeatureConfig, tile_t: int, apply_dct: bool,
         preemph=cfg.preemph, log_floor=cfg.log_floor,
         rel_floor=(0.0 if cfg.dynamic_range_db is None
                    else 10.0 ** (-cfg.dynamic_range_db / 10.0)),
-        precision=cfg.matmul_precision, merged=merged)
+        precision=cfg.matmul_precision, merged=merged,
+        pm_out=pm_out and merged)
 
 
 def _phase_gemm(W, Wn, basis, lo, L, row_lanes, prec):
@@ -297,10 +299,16 @@ def _kernel(*refs, plan: _PlanDit, hop_h: int):
             loge = _acc_log(jnp.maximum(en, plan.log_floor))
             col = jax.lax.broadcasted_iota(jnp.int32, f.shape, 1)
             f = jnp.where(col == 0, loge, f)
-        # phase-major rows (p*fpp + f) -> natural frame order (f*P + p)
-        feat = (f.reshape(P, fpp, plan.out_pad).transpose(1, 0, 2)
-                 .reshape(plan.tile_t, plan.out_pad)
-                if P > 1 else f)
+        # phase-major rows (p*fpp + f) -> natural frame order (f*P + p);
+        # with pm_out the rows ship phase-major and the WRAPPER
+        # deinterleaves (one XLA transpose of the small output tensor,
+        # fusable with the downstream mask) instead of the in-kernel
+        # sublane permutation.
+        if plan.pm_out or P == 1:
+            feat = f
+        else:
+            feat = (f.reshape(P, fpp, plan.out_pad).transpose(1, 0, 2)
+                     .reshape(plan.tile_t, plan.out_pad))
         out_ref[0, :, :] = feat
         return
 
@@ -414,6 +422,7 @@ def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
                            apply_dct: bool = True,
                            tile_t: int | None = None,
                            merged: bool = False,
+                           pm_out: bool = False,
                            interpret: bool = False) -> jnp.ndarray:
     """(B, N) RAW audio (dither already applied if any) -> (B, T, n_out).
 
@@ -439,7 +448,7 @@ def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
         # tile pads 998 -> 2048 COMPUTED frames — overcompute, which the
         # round_up cap below avoids for any T).
         tile_t = min(1024, _round_up(T, 8 * P))
-    plan = _plan(cfg, tile_t, apply_dct, merged=merged)
+    plan = _plan(cfg, tile_t, apply_dct, merged=merged, pm_out=pm_out)
 
     tiles = _round_up(T, plan.tile_t) // plan.tile_t
     rows_per_tile = plan.tile_t * hop_h // LANE
@@ -484,4 +493,9 @@ def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
     )(raw, jnp.asarray(bas_e), jnp.asarray(bas_o), jnp.asarray(tw),
       jnp.asarray(mcat), jnp.asarray(mny), jnp.asarray(d))
 
+    if plan.pm_out and plan.P > 1:
+        tiles_ = out.shape[1] // plan.tile_t
+        out = (out.reshape(B, tiles_, plan.P, plan.fpp, plan.out_pad)
+                  .transpose(0, 1, 3, 2, 4)
+                  .reshape(B, tiles_ * plan.tile_t, plan.out_pad))
     return out[:, :T, :n_out]

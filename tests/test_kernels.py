@@ -378,6 +378,21 @@ def test_raw_dit_kernel_merged_matches_split(rng, variant):
     np.testing.assert_allclose(merged[0] / lift, want / lift, atol=ATOL)
 
 
+def test_raw_dit_kernel_merged_pm_out_bit_identical(rng):
+    """pm_out (wrapper-side phase deinterleave) is a pure relayout —
+    outputs must be BIT-identical to the in-kernel transpose."""
+    x = (rng.standard_normal((2, 16000)) * 0.3).astype(np.float32)
+    m = np.asarray(fused_raw_dit.fused_features_raw_dit(
+        jnp.asarray(x), CFG, merged=True, interpret=True))
+    pm = np.asarray(fused_raw_dit.fused_features_raw_dit(
+        jnp.asarray(x), CFG, merged=True, pm_out=True, interpret=True))
+    assert (m == pm).all()
+    pm2 = np.asarray(fused_raw_dit.fused_features_raw_dit(
+        jnp.asarray(x), CFG, merged=True, pm_out=True, tile_t=64,
+        interpret=True))
+    assert (m == pm2).all()
+
+
 def test_raw_dit_kernel_merged_multi_tile(rng):
     x = (rng.standard_normal((2, 16000)) * 0.3).astype(np.float32)
     got = np.asarray(fused_raw_dit.fused_features_raw_dit(
