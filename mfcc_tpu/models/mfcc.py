@@ -66,14 +66,20 @@ def _features_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
         # variant 431.7k audio-sec/s vs v4 per-phase 411.0k (merged=True
         # routes to ONE (P*fpp, L) GEMM per parity when the plan allows;
         # ineligible plans silently keep the per-phase path, same math);
-        # log-mel outputs stay on the v3 raw kernel (356.3k) because the
+        # log-mel outputs stay on the v3 raw kernel (380.1k) because the
         # DIT twiddle combine costs one extra f32 rounding stage in deep
         # spectral valleys (docs/conventions.md accuracy policy) and the
-        # DCT that would wash it out is skipped.
-        if apply_dct and kernels.fused_raw_dit.raw_dit_kernel_eligible(cfg):
+        # DCT that would wash it out is skipped — EXCEPT when the caller
+        # bounds the dynamic range to <= 50 dB, where the raw-DIT
+        # kernel's valley error is test-pinned at 5.3e-5 (< the 1e-4
+        # contract; tests/test_kernels.py raw_dit logmel test) and its
+        # throughput win applies to log-mel too.
+        use_dit = apply_dct or (cfg.dynamic_range_db is not None
+                                and cfg.dynamic_range_db <= 50.0)
+        if use_dit and kernels.fused_raw_dit.raw_dit_kernel_eligible(cfg):
             with jax.named_scope("fused_raw_dit_kernel"):
                 feat = kernels.fused_raw_dit.fused_features_raw_dit(
-                    xb, cfg, apply_dct=True, merged=True,
+                    xb, cfg, apply_dct=apply_dct, merged=True,
                     interpret=backend_lib.pallas_interpret())
         elif kernels.fused_raw.raw_kernel_eligible(cfg):
             with jax.named_scope("fused_raw_kernel"):

@@ -283,20 +283,27 @@ def test_raw_kernel_short_signal():
 
 
 def test_pallas_backend_routes_to_raw_dit(rng):
-    """backend='pallas' end-to-end (interpret on CPU) picks the v4
-    raw-DIT kernel for the default cepstral config and the v3 raw kernel
-    for log-mel (valley accuracy) — both match the oracle."""
+    """backend='pallas' end-to-end (interpret on CPU) picks the merged
+    raw-DIT kernel for cepstral configs AND for log-mel with a bounded
+    (<= 50 dB) dynamic range (its valley error there is test-pinned at
+    5.3e-5); unbounded-range log-mel keeps the v3 raw kernel (valley
+    accuracy policy).  All three route choices must match the oracle."""
     from mfcc_tpu.models import logmel as logmel_model
     x = (rng.standard_normal(16000) * 0.3).astype(np.float32)
     got = np.asarray(mfcc_model.mfcc_jit(jnp.asarray(x), CFG, "pallas"))
     want = oracle.mfcc(x.astype(np.float64), CFG)
     np.testing.assert_allclose(got, want, atol=ATOL)
     cfg = FeatureConfig(n_mels=40, n_mfcc=40,
-                        dynamic_range_db=50.0).validate()
+                        dynamic_range_db=50.0).validate()   # -> raw-DIT
     got = np.asarray(logmel_model.log_mel_jit(jnp.asarray(x), cfg,
                                               "pallas"))
     want = oracle.log_mel(x.astype(np.float64), cfg)
     np.testing.assert_allclose(got, want, atol=ATOL)
+    cfg_u = FeatureConfig(n_mels=40, n_mfcc=40).validate()  # -> v3 raw
+    got = np.asarray(logmel_model.log_mel_jit(jnp.asarray(x), cfg_u,
+                                              "pallas"))
+    want = oracle.log_mel(x.astype(np.float64), cfg_u)
+    np.testing.assert_allclose(got, want, atol=2e-4)  # unbounded valleys
 
 
 # ---------------------------------------------------------------------------
