@@ -31,12 +31,13 @@ def resolve(name: str = "auto", cfg=None) -> str:
         raise ValueError(f"backend must be one of {BACKENDS}, got {name!r}")
     if name == "auto":
         # On-device A/B, v5e medians, scan protocol (bench/ab_backend.json
-        # r3): v4 raw-DIT kernel 410.7k, v3 raw kernel 356.3k, DIT kernel
-        # 331.2k, XLA hop-block 259.6k audio-sec/s/chip — all at <= 2.8e-6
-        # vs the oracle.  auto -> pallas where any raw/DIT kernel is
-        # eligible (models/mfcc.py picks v4 for cepstral outputs, v3 for
-        # log-mel — valley accuracy, docs/conventions.md); the v1 direct
-        # kernel LOSES to XLA, so configs none of them can take (odd hop,
+        # r3): v5 merged raw-DIT 431.7k, v4 raw-DIT 411.0k, v3 raw 371.4k,
+        # DIT kernel 322.1k, XLA hop-block 260.3k audio-sec/s/chip — all
+        # at <= 2.8e-6 vs the oracle.  auto -> pallas where any raw/DIT
+        # kernel is eligible (models/mfcc.py picks v5-merged for cepstral
+        # and bounded-range log-mel outputs, v3 for unbounded log-mel —
+        # valley accuracy, docs/conventions.md); the v1 direct kernel
+        # LOSES to XLA, so configs none of them can take (odd hop,
         # n_fft % 4 != 0, lane-phase period > 8) stay on the XLA path.
         if jax.default_backend() == "tpu" and cfg is not None:
             from .ops.kernels import fused_dit, fused_raw, fused_raw_dit

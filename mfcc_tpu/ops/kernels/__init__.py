@@ -14,11 +14,13 @@ framework hand-writes MXU/VPU kernels in Pallas.
   assembly in-kernel via a lane-phase-periodic layout), deleting the
   XLA-side prep that the scan-protocol ablation showed costs ~47% of
   the DIT pipeline's time (bench/kernel_probe.py).
-- :mod:`fused_raw_dit` — v4: the radix-2 DIT math ON the raw layout
+- :mod:`fused_raw_dit` — v4/v5: the radix-2 DIT math ON the raw layout
   (half-rate parity streams, conjugate-symmetry combine with the bin
-  permutation folded into the mel matrix).  The r3 winner for cepstral
-  outputs (410.7k vs v3's 356.3k audio-sec/s, bench/ab_backend.json);
-  log-mel outputs stay on v3 (valley-accuracy, see module docstring).
+  permutation folded into the mel matrix).  The r3 winner in its v5
+  merged-phase form (one (P*fpp, L) GEMM per parity; 431.7k vs v4's
+  411.0k vs v3's 371.4k audio-sec/s, bench/ab_backend.json) for
+  cepstral outputs and bounded-range (<= 50 dB) log-mel; unbounded
+  log-mel stays on v3 (valley-accuracy, see module docstring).
 
 Every kernel ships with an ``interpret=True`` parity path and is tested
 against the jnp stages on CPU (tests/test_kernels.py) — the TPU analog of

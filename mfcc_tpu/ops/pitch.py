@@ -276,9 +276,6 @@ def _parabolic_from(ym, y0, yp, path, n) -> jnp.ndarray:
     return jnp.where((path == 0) | (path == n - 1), 0.0, d)
 
 
-def _parabolic(nccf_p: jnp.ndarray, path: jnp.ndarray) -> jnp.ndarray:
-    ym, y0, yp = _path_neighborhood(nccf_p, path)
-    return _parabolic_from(ym, y0, yp, path, nccf_p.shape[-1])
 
 
 def pov_feature(c: jnp.ndarray) -> jnp.ndarray:
