@@ -162,7 +162,7 @@ def main():
         "wall_s_per_batch": dtp,
         "note": "ragged real-audio rate (utilization-discounted, see "
                 "config2 note); full-length standalone rate is "
-                "bench/ab_viterbi.json pitch-full (98.8k r3)",
+                "bench/ab_viterbi.json pitch-full (98.4k r3)",
         "protocol": "scan-carry-v2",
         "max_abs_error_vs_oracle": float(
             np.abs(gotp - wantp[: gotp.shape[0]]).max())}

@@ -110,24 +110,24 @@ def nccf(xw: jnp.ndarray, pcfg: PitchConfig, mask: jnp.ndarray, *,
     B, Nw = xw.shape
     T = mask.shape[1]
 
-    # extended frames (B, T, K) via the spectral stage's zero-copy
-    # hop-block concat (static slices, no TPU gather), K = n_blocks*hop
-    # >= n.  Columns past n are zeroed once; the DFT matrices get zero
-    # rows up to K so those columns contribute exactly 0 to the GEMMs
-    # (same trick as spectrum._concat_basis_cached).  Frames past the
-    # valid region read zero-padding instead of the old
-    # clamp-replication — they are masked to 0 downstream either way
-    # (flat-zero emission invariance, module docstring).
-    from .spectrum import _frames_by_concat
-    n_blocks = -(-max(n, Nc) // hop)
-    K = n_blocks * hop
-    E = _frames_by_concat(xw, hop, T, n_blocks)        # (B, T, K)
-    col = jnp.arange(K)
-    E = jnp.where(col < n, E, 0.0)
-    A = jnp.where(col < w, E, 0.0)                     # windowed part
+    # extended frames (B, T, n): static-index gather, same idiom as
+    # framing.frame.  NOTE an r3 A/B replaced this with the spectral
+    # stage's hop-block concat and measured nccf standalone FASTER
+    # (270k vs 225k) but the FULL pitch pipeline SLOWER (86k vs 99k —
+    # the materialized concat frames fuse worse downstream), so the
+    # gather stays; static indices do not hit the dynamic-gather
+    # scalar-loop path.  (bench/ab_viterbi.json r3)
+    idx = (np.arange(T) * hop)[:, None] + np.arange(n)[None, :]
+    idx = np.minimum(idx, max(Nw - 1, 0))
+    E = xw[:, idx]                                     # (B, T, n)
+    A = jnp.where(jnp.arange(n) < w, E, 0.0)           # windowed part
 
-    rp = ((0, K - Nc), (0, 0))                         # zero rows Nc -> K
-    cm, sm = jnp.asarray(np.pad(cos_m, rp)), jnp.asarray(np.pad(sin_m, rp))
+    if Nc > n:
+        pad = [(0, 0), (0, 0), (0, Nc - n)]
+        E = jnp.pad(E, pad)
+        A = jnp.pad(A, pad)
+
+    cm, sm = jnp.asarray(cos_m), jnp.asarray(sin_m)
     re_a = jnp.matmul(A, cm, precision=precision)
     im_a = -jnp.matmul(A, sm, precision=precision)
     re_e = jnp.matmul(E, cm, precision=precision)
