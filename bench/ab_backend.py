@@ -110,6 +110,11 @@ def main():
             def fn(x):
                 return fused_raw_dit.fused_features_raw_dit(
                     x, cfg, tile_t=args.tile, merged=True, interpret=interp)
+        elif mode == "pallas-raw-dit-m-h":
+            def fn(x):
+                return fused_raw_dit.fused_features_raw_dit(
+                    x, cfg, tile_t=args.tile, merged=True, half=True,
+                    interpret=interp)
         elif mode == "pallas-raw-dit-m-pm":
             def fn(x):
                 return fused_raw_dit.fused_features_raw_dit(

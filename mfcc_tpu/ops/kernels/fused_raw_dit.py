@@ -92,6 +92,7 @@ class _PlanDit(NamedTuple):
     precision: str
     merged: bool      # one (P*fpp, L) GEMM per parity vs P small ones
     pm_out: bool      # write phase-major rows; wrapper deinterleaves
+    half: bool        # 128-lane combine halves (merged only)
 
 
 def raw_dit_kernel_eligible(cfg: FeatureConfig) -> bool:
@@ -112,7 +113,7 @@ def raw_dit_kernel_eligible(cfg: FeatureConfig) -> bool:
 
 
 def _plan(cfg: FeatureConfig, tile_t: int, apply_dct: bool,
-          merged: bool = False, pm_out: bool = False):
+          merged: bool = False, pm_out: bool = False, half: bool = False):
     hop_h = cfg.hop_len // 2
     P = LANE // math.gcd(hop_h, LANE)
     rpp = hop_h * P // LANE
@@ -132,7 +133,7 @@ def _plan(cfg: FeatureConfig, tile_t: int, apply_dct: bool,
         rel_floor=(0.0 if cfg.dynamic_range_db is None
                    else 10.0 ** (-cfg.dynamic_range_db / 10.0)),
         precision=cfg.matmul_precision, merged=merged,
-        pm_out=pm_out and merged)
+        pm_out=pm_out and merged, half=half and merged)
 
 
 def _phase_gemm(W, Wn, basis, lo, L, row_lanes, prec):
@@ -274,18 +275,49 @@ def _kernel(*refs, plan: _PlanDit, hop_h: int):
                      precision=prec)
         So = jnp.dot(Fo, bas_o, preferred_element_type=jnp.float32,
                      precision=prec)
-        Es = pltpu.roll(Se, shift=Hh, axis=1) * smask
-        Os = pltpu.roll(So, shift=Hh, axis=1) * smask
-        Br = ct * So - st * Os
-        Bi = ct * Os + st * So
-        p_plus = (Se + Br) ** 2 + (Es + Bi) ** 2
-        p_minus = (Se - Br) ** 2 + (Es - Bi) ** 2
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, p_plus.shape, 1)
-        pcat = jnp.where(lane2 <= Hh, p_plus,
-                         pltpu.roll(p_minus, shift=Hh, axis=1))
-        e = (jnp.dot(pcat, mcat[:], preferred_element_type=jnp.float32,
-                     precision=prec)
-             + p_minus[:, :1] * mny[0:1, :])
+        if plan.half:
+            # ---- half-width combine: the 256-lane combine arrays carry
+            # only 129 signal lanes (ct/st/smask are zero past Hh), so
+            # slice the GEMM outputs to Hh=128-lane halves and run every
+            # elementwise op at half width.  Bin Hh (|X[Hh]|^2 =
+            # Se[Hh]^2 + So[Hh]^2 since ct[Hh]=0, st[Hh]=1, Es[Hh]=0)
+            # leaves the GEMM row set and enters as the rank-1 update
+            # instead of the full-DFT Nyquist, whose mel row takes bin
+            # Hh's old slot IN the matrix (wrapper swaps mcat row Hh for
+            # the mny row; operand slots unchanged).  pcat lane Hh+j
+            # holds p_minus[j] = |X[H-j]|^2 — same rows of mcat as the
+            # rolled layout, so the constants beyond the swap are
+            # untouched.
+            Ssf = pltpu.roll(Se, shift=Hh, axis=1)    # lane j = Se[Hh+j]
+            Osf = pltpu.roll(So, shift=Hh, axis=1)
+            lane_hh = jax.lax.broadcasted_iota(jnp.int32, (1, Hh), 1)
+            mh = (lane_hh >= 1).astype(jnp.float32)   # sin bins 1..Hh-1
+            Sc, Oc = Se[:, :Hh], So[:, :Hh]
+            Ss = Ssf[:, :Hh] * mh
+            Os_ = Osf[:, :Hh] * mh
+            ct_h, st_h = ct[:, :Hh], st[:, :Hh]
+            Br = ct_h * Oc - st_h * Os_
+            Bi = ct_h * Os_ + st_h * Oc
+            p_plus = (Sc + Br) ** 2 + (Ss + Bi) ** 2   # bins 0..Hh-1
+            p_minus = (Sc - Br) ** 2 + (Ss - Bi) ** 2  # bins H-j, j=0..Hh-1
+            pcat = jnp.concatenate([p_plus, p_minus], axis=1)
+            pH = Ssf[:, :1] ** 2 + Osf[:, :1] ** 2     # |X[Hh]|^2
+            e = (jnp.dot(pcat, mcat[:], preferred_element_type=jnp.float32,
+                         precision=prec)
+                 + pH * mny[0:1, :])
+        else:
+            Es = pltpu.roll(Se, shift=Hh, axis=1) * smask
+            Os = pltpu.roll(So, shift=Hh, axis=1) * smask
+            Br = ct * So - st * Os
+            Bi = ct * Os + st * So
+            p_plus = (Se + Br) ** 2 + (Es + Bi) ** 2
+            p_minus = (Se - Br) ** 2 + (Es - Bi) ** 2
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, p_plus.shape, 1)
+            pcat = jnp.where(lane2 <= Hh, p_plus,
+                             pltpu.roll(p_minus, shift=Hh, axis=1))
+            e = (jnp.dot(pcat, mcat[:], preferred_element_type=jnp.float32,
+                         precision=prec)
+                 + p_minus[:, :1] * mny[0:1, :])
         if plan.rel_floor > 0.0:
             rel = jnp.max(e, axis=1, keepdims=True) * plan.rel_floor
             e = jnp.maximum(e, rel)
@@ -423,6 +455,7 @@ def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
                            tile_t: int | None = None,
                            merged: bool = False,
                            pm_out: bool = False,
+                           half: bool = False,
                            interpret: bool = False) -> jnp.ndarray:
     """(B, N) RAW audio (dither already applied if any) -> (B, T, n_out).
 
@@ -448,7 +481,8 @@ def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
         # tile pads 998 -> 2048 COMPUTED frames — overcompute, which the
         # round_up cap below avoids for any T).
         tile_t = min(1024, _round_up(T, 8 * P))
-    plan = _plan(cfg, tile_t, apply_dct, merged=merged, pm_out=pm_out)
+    plan = _plan(cfg, tile_t, apply_dct, merged=merged, pm_out=pm_out,
+                 half=half)
 
     tiles = _round_up(T, plan.tile_t) // plan.tile_t
     rows_per_tile = plan.tile_t * hop_h // LANE
@@ -464,6 +498,15 @@ def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
 
     bas_e, bas_o, tw, mcat, mny, d = _matrices(
         cfg, plan.mels_pad, plan.out_pad, apply_dct)
+    if plan.half:
+        # half-combine swaps roles: pcat lane Hh carries the full-DFT
+        # Nyquist (p_minus[0]) INSIDE the GEMM, and bin Hh becomes the
+        # rank-1 update — exchange mcat row Hh with the mny row.
+        Hh_ = cfg.n_fft // 4
+        mcat = mcat.copy()
+        row_hh = mcat[Hh_].copy()
+        mcat[Hh_] = mny[0]
+        mny = row_hh[None, :]
 
     vmem_const = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
