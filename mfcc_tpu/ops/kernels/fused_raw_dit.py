@@ -124,9 +124,19 @@ def _plan(cfg: FeatureConfig, tile_t: int, apply_dct: bool,
     rows_span = _round_up(nper * rpp, 8)
     mels_pad = _round_up(cfg.n_mels, LANE)
     out_pad = _round_up(cfg.n_mfcc, LANE) if apply_dct else mels_pad
+    # The merged path additionally needs >1 phase (something to merge)
+    # and the whole frame inside one period row (roll+select cannot
+    # widen lanes).  Deriving half/pm_out from the FULL eligibility here
+    # — not just `merged` — keeps the wrapper-side transforms (mcat/mny
+    # row swap for half, phase deinterleave for pm_out) in lockstep with
+    # the branch the kernel actually takes (ADVICE r3: an ineligible
+    # half/pm_out request used to fall back to the per-phase path while
+    # the wrapper still applied its transform — silently wrong values).
+    Le = (cfg.frame_len + 1) // 2
+    merged = merged and P > 1 and Le <= rpp * LANE
     return _PlanDit(
         P=P, rpp=rpp, nper=nper, rows_span=rows_span, tile_t=tile_t,
-        fpp=fpp, H=cfg.n_fft // 2, Le=(cfg.frame_len + 1) // 2,
+        fpp=fpp, H=cfg.n_fft // 2, Le=Le,
         Lo=cfg.frame_len // 2, mels_pad=mels_pad, out_pad=out_pad,
         apply_dct=apply_dct, append_energy=cfg.append_energy,
         preemph=cfg.preemph, log_floor=cfg.log_floor,
@@ -263,9 +273,10 @@ def _kernel(*refs, plan: _PlanDit, hop_h: int):
     lane_h = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
     smask = ((lane_h >= 1) & (lane_h <= Hh - 1)).astype(jnp.float32)
 
-    # merged needs the whole frame to fit one period row (roll+select
-    # cannot widen lanes) and >1 phase to have anything to merge
-    if plan.merged and P > 1 and max(plan.Le, plan.Lo) <= row_lanes:
+    # plan.merged already encodes the full eligibility (P > 1 and the
+    # frame inside one period row) — computed once in _plan so the
+    # wrapper's half/pm_out transforms can never diverge from this branch
+    if plan.merged:
         # ---- ONE packed half-DFT GEMM per parity on VMEM-assembled
         # frame blocks (see _assemble_phases); combine runs on the full
         # (P*fpp, H) matrices — identical math, P-fold fewer op launches.
@@ -536,7 +547,7 @@ def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
     )(raw, jnp.asarray(bas_e), jnp.asarray(bas_o), jnp.asarray(tw),
       jnp.asarray(mcat), jnp.asarray(mny), jnp.asarray(d))
 
-    if plan.pm_out and plan.P > 1:
+    if plan.pm_out:
         tiles_ = out.shape[1] // plan.tile_t
         out = (out.reshape(B, tiles_, plan.P, plan.fpp, plan.out_pad)
                   .transpose(0, 1, 3, 2, 4)

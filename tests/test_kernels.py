@@ -359,17 +359,23 @@ def test_raw_dit_kernel_variants_vs_oracle(rng, variant):
     np.testing.assert_allclose(got[0] / lift, want / lift, atol=ATOL)
 
 
+@pytest.mark.parametrize("half", [False, True])
 @pytest.mark.parametrize("variant", [
     dict(),                               # hop 160: crossing phases 6,7
     dict(frame_ms=25.0625),               # odd frame_len (Le != Lo)
     dict(append_energy=True),             # energy column via Fe/Fo sums
-    dict(frame_ms=32.0, hop_ms=16.0),     # P=1: no phase concat at all
+    dict(frame_ms=32.0, hop_ms=16.0),     # P=1: merged ineligible — the
+                                          # half/pm_out wrapper transforms
+                                          # must gate off (ADVICE r3)
     dict(dynamic_range_db=80.0),
 ])
-def test_raw_dit_kernel_merged_matches_split(rng, variant):
+def test_raw_dit_kernel_merged_matches_split(rng, variant, half):
     """v5 merged-phase path (ONE (P*fpp, L) GEMM per parity via VMEM
     roll+select frame-block assembly) is value-equivalent to the v4
-    per-phase path, and both to the oracle."""
+    per-phase path, and both to the oracle.  half=True additionally
+    covers the 128-lane combine variant, INCLUDING configs where the
+    merged path is ineligible (P=1) and the wrapper's mcat/mny row swap
+    must therefore not be applied (the r3 advisor bug)."""
     cfg = FeatureConfig(**variant).validate()
     if not fused_raw_dit.raw_dit_kernel_eligible(cfg):
         pytest.skip("config not raw-DIT-kernel eligible")
@@ -378,11 +384,32 @@ def test_raw_dit_kernel_merged_matches_split(rng, variant):
     split = np.asarray(fused_raw_dit.fused_features_raw_dit(
         jnp.asarray(x), cfg, interpret=True))
     merged = np.asarray(fused_raw_dit.fused_features_raw_dit(
-        jnp.asarray(x), cfg, merged=True, interpret=True))
+        jnp.asarray(x), cfg, merged=True, half=half, interpret=True))
     np.testing.assert_allclose(merged, split, atol=2e-5)
     want = oracle.mfcc(x[0].astype(np.float64), cfg)
     lift = oracle.lifter_coeffs(cfg.n_mfcc, cfg.lifter)
     np.testing.assert_allclose(merged[0] / lift, want / lift, atol=ATOL)
+
+
+def test_raw_dit_kernel_pm_out_ineligible_config_gates_off(rng):
+    """The second r3 advisor repro: a config whose frame does not fit one
+    period row (frame_len 300 > row_lanes 128 at hop 128) must silently
+    drop pm_out/half and still match the per-phase baseline."""
+    cfg = FeatureConfig(sample_rate=16000, frame_ms=18.75,
+                        hop_ms=8.0).validate()   # frame 300, hop 128: P=2
+    if not fused_raw_dit.raw_dit_kernel_eligible(cfg):
+        pytest.skip("config not raw-DIT-kernel eligible")
+    plan = fused_raw_dit._plan(cfg, 64, True, merged=True, pm_out=True,
+                               half=True)
+    assert plan.P == 2 and plan.Le > plan.rpp * 128  # frame > period row
+    assert not plan.merged and not plan.pm_out and not plan.half
+    x = (rng.standard_normal((1, 8000)) * 0.3).astype(np.float32)
+    base = np.asarray(fused_raw_dit.fused_features_raw_dit(
+        jnp.asarray(x), cfg, interpret=True))
+    pm = np.asarray(fused_raw_dit.fused_features_raw_dit(
+        jnp.asarray(x), cfg, merged=True, pm_out=True, half=True,
+        interpret=True))
+    np.testing.assert_allclose(pm, base, atol=2e-5)
 
 
 def test_raw_dit_kernel_merged_pm_out_bit_identical(rng):
