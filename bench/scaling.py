@@ -96,9 +96,9 @@ def weak_scaling(iters: int, seconds: float, max_devices: int = 8):
         out[nd] = (B0 * nd * seconds) / dt
         # cost of the whole CMVN-stats step (masked reductions + psum) at
         # fixed N.  At N=1 this is PURE stats compute (no collective
-        # exists), so communication cost <= max(0, ovh(N) - ovh(1)); the
-        # measured profile DECREASES with N — the psum'd bytes are free,
-        # as designed (the stats are three (F,) vectors).
+        # exists), so communication cost <= max(0, ovh(N) - ovh(1)).  On
+        # this oversubscribed box the subtraction is noise-dominated —
+        # treat it as a no-blow-up check only (see the output note).
         comm[nd] = max(0.0, 1.0 - dt_nostats / dt)
         print(f"devices={nd}: {out[nd]:.1f} audio-sec/s "
               f"(stats-step overhead {100 * comm[nd]:.1f}%)", flush=True)
@@ -184,7 +184,7 @@ def two_process(iters: int, seconds: float):
                       "lower-bounds real multi-host efficiency"}
 
 
-def predicted_pod_efficiency(per_chip_audio_sec_s: float = 410_000.0,
+def predicted_pod_efficiency(per_chip_audio_sec_s: float = 421_482.0,
                              batch: int = 64, utt_seconds: float = 10.0,
                              n_feats: int = 13, n_chips: int = 16,
                              n_hosts: int = 4,
@@ -217,6 +217,22 @@ def predicted_pod_efficiency(per_chip_audio_sec_s: float = 410_000.0,
       straggler/resharding term: imbalance is bounded by < 1 batch per
       shard per bucket per run.
 
+    Constant provenance + sensitivity (VERDICT r3 #5): the two assumed
+    inputs are deliberately conservative and the output carries a
+    sensitivity table so the claim does not hinge on them.
+    - ici_allreduce_latency_s = 10 us: published v5e ICI per-hop
+      latencies are ~1 us (single-digit us end-to-end for a sub-KB
+      latency-bound all-reduce on a 16-chip torus); 10 us is a 5-10x
+      haircut already.  The sensitivity row shows efficiency at 100 us
+      (a further 10x haircut) and 1 ms, plus the break-even latency
+      where the 90% target would be lost: t_batch/9 (~165 us at the r3
+      rate) — 2 orders above any plausible v5e number.
+    - host_to_chip_gbytes_s = 8: a v5e host serves 4 chips from PCIe
+      Gen4 (~32 GB/s/link raw); 8 GB/s/chip assumes one full link per
+      chip is NOT available and streaming shares it.  The sensitivity
+      row spans 4/8/16 GB/s.  This ceiling caps corpus-run ingest
+      identically at every N, so it does not change efficiency.
+
     Efficiency(N) = t_batch / (t_batch + t_psum): with t_batch =
     batch*utt_seconds/per_chip ~ 1.56 ms and t_psum ~ 10 us ->
     ~0.994 at any N within a slice.  The separate HOST INGEST ceiling
@@ -232,9 +248,24 @@ def predicted_pod_efficiency(per_chip_audio_sec_s: float = 410_000.0,
     eff = t_batch / (t_batch + t_psum)
     in_bytes_per_s = per_chip_audio_sec_s * 16000 * 2      # int16 PCM
     ingest_ceiling = host_to_chip_gbytes_s * 1e9 / (16000 * 2)
+    eff_at = {lat: round(t_batch / (t_batch + lat), 4)
+              for lat in (1e-6, 1e-5, 1e-4, 1e-3)}
     return {
         "predicted_efficiency_v5e16": round(eff, 4),
         "meets_90pct_target": eff >= 0.90,
+        "sensitivity": {
+            "efficiency_vs_ici_allreduce_latency_s": eff_at,
+            "breakeven_ici_latency_s_for_90pct_target": round(
+                t_batch / 9.0, 6),
+            "ingest_ceiling_audio_sec_s_per_chip_vs_host_gbytes_s": {
+                str(bw): round(bw * 1e9 / (16000 * 2), 0)
+                for bw in (4.0, 8.0, 16.0)},
+            "note": "constants provenance in the docstring: the assumed "
+                    "10 us ICI latency is itself a 5-10x haircut on "
+                    "published v5e numbers; the 90% target survives a "
+                    "further 10x (100 us -> see row) and is lost only "
+                    "past the breakeven latency above",
+        },
         "model_inputs": {
             "per_chip_audio_sec_s": per_chip_audio_sec_s,
             "batch": batch, "utt_seconds": utt_seconds,
@@ -254,8 +285,9 @@ def predicted_pod_efficiency(per_chip_audio_sec_s: float = 410_000.0,
         },
         "validation_on_hardware": "run this same harness on a pod slice "
         "(it skips the fake-pod path when real multi-chip devices "
-        "exist); the measured stats_step_overhead_frac here already "
-        "confirms the collective share falls with N",
+        "exist); the fake-pod stats_step_overhead_frac is consistent "
+        "with a negligible collective share (no blow-up with N) but is "
+        "too noisy on 2 cores to quantify it — the model above does",
     }
 
 
@@ -265,9 +297,10 @@ def main():
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--mp", action="store_true",
                     help="also run the two-process runner-level measure")
-    ap.add_argument("--per-chip", type=float, default=410_000.0,
+    ap.add_argument("--per-chip", type=float, default=421_482.0,
                     help="measured single-chip audio-sec/s for the "
-                         "efficiency model (BENCH_r03)")
+                         "efficiency model (driver-captured BENCH_r03 — "
+                         "the number of record)")
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--port", default="0")
     ap.add_argument("--nprocs", type=int, default=2)
@@ -282,14 +315,23 @@ def main():
     results = {
         "predicted_pod_efficiency": predicted_pod_efficiency(
             per_chip_audio_sec_s=args.per_chip),
-        # the meaningful fake-pod measurement: the CMVN stats step's cost
-        # share at fixed N (its collective is the pipeline's ONLY
-        # cross-device coupling) — decreasing with N = the psum is free
+        # fake-pod measurement of the CMVN stats step's cost share at
+        # fixed N (its collective is the pipeline's ONLY cross-device
+        # coupling).  Read it as a NO-BLOW-UP check, not a trend: on a
+        # 2-core box these fractions are dominated by scheduler noise
+        # (the N=1 row contains no collective at all — it is pure stats
+        # compute — and zeros are the max(0, .) floor of the two-timing
+        # subtraction).  The quantitative "psum is free" claim rests on
+        # the 156-byte payload model above, which this data is merely
+        # consistent with.
         "collective_cost_measured": {
             "stats_step_overhead_frac": weak["stats_step_overhead_frac"],
-            "note": "share of a full batch step spent in the masked "
-                    "CMVN reductions + psum on the fake pod; DECREASES "
-                    "with device count (the psum'd bytes are ~free)",
+            "note": "noisy 2-core-box two-timing subtraction; evidence "
+                    "of NO blow-up with N, not a trend — the N=1 row is "
+                    "pure stats compute (no collective exists) and 0.0 "
+                    "rows are the max(0,.) floor.  See "
+                    "predicted_pod_efficiency for the quantitative model "
+                    "and its sensitivity table.",
         },
         # APPENDIX: weak-scaling wall-clock on N virtual devices sharing
         # 2 physical cores measures HOST OVERSUBSCRIPTION, not the

@@ -266,6 +266,15 @@ def mfcc(x: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
     return feat
 
 
+def log_spectrogram(x: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
+    """Log-power-spectrogram twin of models/spectrogram.py:
+    (n_samples,) -> (T, n_bins) floored log power spectra."""
+    frames = frame_signal(_dither(x, cfg), cfg)
+    if frames.shape[0] == 0:
+        return np.zeros((0, cfg.n_bins), dtype=np.float64)
+    return np.log(np.maximum(power_spectrum(frames, cfg), cfg.log_floor))
+
+
 def log_mel(x: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
     """Log-mel variant (DCT skipped): (n_samples,) -> (T, n_mels[*3])."""
     frames = frame_signal(_dither(x, cfg), cfg)

@@ -184,9 +184,7 @@ def test_spectrogram_matches_oracle(speechlike):
     from mfcc_tpu.models import spectrogram
     got = np.asarray(spectrogram.log_spectrogram_jit(
         jnp.asarray(speechlike), CFG))
-    frames64 = oracle.frame_signal(speechlike, CFG)
-    want = np.log(np.maximum(oracle.power_spectrum(frames64, CFG),
-                             CFG.log_floor))
+    want = oracle.log_spectrogram(speechlike, CFG)
     assert got.shape == want.shape == (98, 257)
     # raw single-bin valleys reach -90+ dB where f32 log parity is
     # physically ~1e-2 (2*eps*sqrt(P_peak/P_valley)); the contract is
