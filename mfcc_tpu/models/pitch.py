@@ -22,15 +22,17 @@ from ..config import PitchConfig
 from ..ops import pitch as pitch_op
 
 
-def pitch(x: jnp.ndarray, pcfg: PitchConfig) -> jnp.ndarray:
+def pitch(x: jnp.ndarray, pcfg: PitchConfig,
+          backend: str = "auto") -> jnp.ndarray:
     """(n_samples,) PCM in [-1, 1] -> (T, 3) pitch features."""
     feat, _, _ = pitch_op.pitch_features(
-        x[None, :], jnp.asarray([x.shape[0]], jnp.int32), pcfg)
+        x[None, :], jnp.asarray([x.shape[0]], jnp.int32), pcfg,
+        backend=backend)
     return feat[0]
 
 
 def pitch_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
-                pcfg: PitchConfig):
+                pcfg: PitchConfig, backend: str = "auto"):
     """(B, N_pad), (B,) -> ((B, T, 3), (B,) frame counts, (B, T) mask).
 
     x may be int16 PCM (cast on device) or float in [-1, 1]; zero padding
@@ -40,15 +42,16 @@ def pitch_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
     """
     if x.dtype == jnp.int16:
         x = x.astype(jnp.float32) * (1.0 / 32768.0)
-    return pitch_op.pitch_features(x, sample_lengths, pcfg)
+    return pitch_op.pitch_features(x, sample_lengths, pcfg,
+                                   backend=backend)
 
 
 def pitch_track_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
-                      pcfg: PitchConfig):
+                      pcfg: PitchConfig, backend: str = "auto"):
     """(B, N_pad), (B,) -> ((B, T) f0 Hz, (B, T) NCCF voicing, mask)."""
     if x.dtype == jnp.int16:
         x = x.astype(jnp.float32) * (1.0 / 32768.0)
-    return pitch_op.pitch_track(x, sample_lengths, pcfg)
+    return pitch_op.pitch_track(x, sample_lengths, pcfg, backend=backend)
 
 
 def align_pitch(feat_p: jnp.ndarray, flens_p: jnp.ndarray, T: int):
@@ -77,18 +80,19 @@ def align_pitch(feat_p: jnp.ndarray, flens_p: jnp.ndarray, T: int):
     return jnp.where(flens_p[:, None, None] > 0, out, 0.0)
 
 
-@partial(jax.jit, static_argnames=("pcfg",))
-def pitch_jit(x: jnp.ndarray, pcfg: PitchConfig) -> jnp.ndarray:
-    return pitch(x, pcfg)
+@partial(jax.jit, static_argnames=("pcfg", "backend"))
+def pitch_jit(x: jnp.ndarray, pcfg: PitchConfig,
+              backend: str = "auto") -> jnp.ndarray:
+    return pitch(x, pcfg, backend)
 
 
-@partial(jax.jit, static_argnames=("pcfg",))
+@partial(jax.jit, static_argnames=("pcfg", "backend"))
 def pitch_batch_jit(x: jnp.ndarray, sample_lengths: jnp.ndarray,
-                    pcfg: PitchConfig):
-    return pitch_batch(x, sample_lengths, pcfg)
+                    pcfg: PitchConfig, backend: str = "auto"):
+    return pitch_batch(x, sample_lengths, pcfg, backend)
 
 
-@partial(jax.jit, static_argnames=("pcfg",))
+@partial(jax.jit, static_argnames=("pcfg", "backend"))
 def pitch_track_batch_jit(x: jnp.ndarray, sample_lengths: jnp.ndarray,
-                          pcfg: PitchConfig):
-    return pitch_track_batch(x, sample_lengths, pcfg)
+                          pcfg: PitchConfig, backend: str = "auto"):
+    return pitch_track_batch(x, sample_lengths, pcfg, backend)

@@ -31,6 +31,7 @@ from . import fused_mfcc     # noqa: F401
 from . import fused_dit      # noqa: F401
 from . import fused_raw      # noqa: F401
 from . import fused_raw_dit  # noqa: F401
+from . import fused_nccf     # noqa: F401
 
 
 def fused_features_auto(y, cfg, *, apply_dct=True, interpret=False):

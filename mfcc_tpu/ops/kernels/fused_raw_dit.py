@@ -93,6 +93,9 @@ class _PlanDit(NamedTuple):
     merged: bool      # one (P*fpp, L) GEMM per parity vs P small ones
     pm_out: bool      # write phase-major rows; wrapper deinterleaves
     half: bool        # 128-lane combine halves (merged only)
+    projection: str   # "mel" (default) | "bark" (PLP front half: the
+                      # bark+equal-loudness filterbank replaces mel and
+                      # the kernel output is floored-log band energies)
 
 
 def raw_dit_kernel_eligible(cfg: FeatureConfig) -> bool:
@@ -113,16 +116,21 @@ def raw_dit_kernel_eligible(cfg: FeatureConfig) -> bool:
 
 
 def _plan(cfg: FeatureConfig, tile_t: int, apply_dct: bool,
-          merged: bool = False, pm_out: bool = False, half: bool = False):
+          merged: bool = False, pm_out: bool = False, half: bool = False,
+          projection: str = "mel"):
     hop_h = cfg.hop_len // 2
     P = LANE // math.gcd(hop_h, LANE)
     rpp = hop_h * P // LANE
     assert tile_t % (8 * P) == 0 or (tile_t % P == 0 and (tile_t // P) % 8 == 0), \
         "tile must give sublane-aligned frames-per-phase"
+    assert projection in ("mel", "bark")
+    assert projection == "mel" or not apply_dct, \
+        "bark projection emits band energies; PLP's LPC chain replaces DCT"
     fpp = tile_t // P
     nper = fpp + 1
     rows_span = _round_up(nper * rpp, 8)
-    mels_pad = _round_up(cfg.n_mels, LANE)
+    n_proj = cfg.n_mels if projection == "mel" else cfg.n_bark
+    mels_pad = _round_up(n_proj, LANE)
     out_pad = _round_up(cfg.n_mfcc, LANE) if apply_dct else mels_pad
     # The merged path additionally needs >1 phase (something to merge)
     # and the whole frame inside one period row (roll+select cannot
@@ -138,12 +146,18 @@ def _plan(cfg: FeatureConfig, tile_t: int, apply_dct: bool,
         P=P, rpp=rpp, nper=nper, rows_span=rows_span, tile_t=tile_t,
         fpp=fpp, H=cfg.n_fft // 2, Le=Le,
         Lo=cfg.frame_len // 2, mels_pad=mels_pad, out_pad=out_pad,
-        apply_dct=apply_dct, append_energy=cfg.append_energy,
+        apply_dct=apply_dct,
+        # the PLP model layer applies energy/deltas itself after the LPC
+        # chain, and its XLA twin applies no relative floor — keep the
+        # bark route's numerics identical to ops/plp.bark_loudness_split
+        append_energy=cfg.append_energy and projection == "mel",
         preemph=cfg.preemph, log_floor=cfg.log_floor,
-        rel_floor=(0.0 if cfg.dynamic_range_db is None
+        rel_floor=(0.0 if (cfg.dynamic_range_db is None
+                           or projection == "bark")
                    else 10.0 ** (-cfg.dynamic_range_db / 10.0)),
         precision=cfg.matmul_precision, merged=merged,
-        pm_out=pm_out and merged, half=half and merged)
+        pm_out=pm_out and merged, half=half and merged,
+        projection=projection)
 
 
 def _phase_gemm(W, Wn, basis, lo, L, row_lanes, prec):
@@ -412,7 +426,7 @@ def _kernel(*refs, plan: _PlanDit, hop_h: int):
 
 @functools.lru_cache(maxsize=16)
 def _matrices(cfg: FeatureConfig, mels_pad: int, out_pad: int,
-              apply_dct: bool):
+              apply_dct: bool, projection: str = "mel"):
     """Float32 VMEM constants (float64 oracle-layer math).
 
     Per-parity packed half-DFT bases (L_parity, H):
@@ -447,13 +461,21 @@ def _matrices(cfg: FeatureConfig, mels_pad: int, out_pad: int,
     tw = np.zeros((2, H), np.float64)
     tw[0, : Hh + 1] = np.cos(2.0 * np.pi * kk[: Hh + 1] / cfg.n_fft)
     tw[1, : Hh + 1] = np.sin(2.0 * np.pi * kk[: Hh + 1] / cfg.n_fft)
-    mel = mel_op.mel_matrix(cfg)                      # (n_bins, n_mels) f64
+    if projection == "mel":
+        mel = mel_op.mel_matrix(cfg)                  # (n_bins, n_mels) f64
+        n_proj = cfg.n_mels
+    else:
+        # PLP front half: the bark critical-band filterbank with the
+        # equal-loudness curve folded in (oracle.bark_filterbank), same
+        # (n_bins, n_bands) orientation as the mel matrix
+        mel = oracle.bark_filterbank(cfg).T
+        n_proj = cfg.n_bark
     mcat = np.zeros((H, mels_pad), np.float64)
-    mcat[: Hh + 1, : cfg.n_mels] = mel[: Hh + 1]
+    mcat[: Hh + 1, : n_proj] = mel[: Hh + 1]
     for j in range(1, Hh):
-        mcat[Hh + j, : cfg.n_mels] = mel[H - j]
+        mcat[Hh + j, : n_proj] = mel[H - j]
     mny = np.zeros((1, mels_pad), np.float64)
-    mny[0, : cfg.n_mels] = mel[H]
+    mny[0, : n_proj] = mel[H]
     d = np.zeros((mels_pad, out_pad), np.float32)
     if apply_dct:
         d[: cfg.n_mels, : cfg.n_mfcc] = dct_op.dct_matrix(cfg)
@@ -467,19 +489,28 @@ def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
                            merged: bool = False,
                            pm_out: bool = False,
                            half: bool = False,
+                           projection: str = "mel",
                            interpret: bool = False) -> jnp.ndarray:
     """(B, N) RAW audio (dither already applied if any) -> (B, T, n_out).
 
     Pre-emphasis happens inside the kernel.  The wrapper's only XLA work
     is ONE fused pad + parity deinterleave
     (reshape(B, ., 2).transpose(0, 2, 1) — a single bandwidth-bound copy).
+
+    projection="bark" swaps the mel matrix for the bark+equal-loudness
+    filterbank and returns (B, T, n_bark) floored-log critical-band
+    energies — the fused front half of the PLP pipeline (models/plp.py
+    applies exp(0.33 * out) and the LPC chain on the small output).
     """
     assert x.ndim == 2, "batch input (B, N) expected"
     if not raw_dit_kernel_eligible(cfg):
         raise ValueError("config not eligible for the raw DIT kernel")
     B, N = x.shape
     T = cfg.num_frames(N)
-    n_out = cfg.n_mfcc if apply_dct else cfg.n_mels
+    if projection == "bark":
+        n_out = cfg.n_bark
+    else:
+        n_out = cfg.n_mfcc if apply_dct else cfg.n_mels
     if T <= 0:
         return jnp.zeros((B, 0, n_out), jnp.float32)
     hop_h = cfg.hop_len // 2
@@ -493,7 +524,7 @@ def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
         # round_up cap below avoids for any T).
         tile_t = min(1024, _round_up(T, 8 * P))
     plan = _plan(cfg, tile_t, apply_dct, merged=merged, pm_out=pm_out,
-                 half=half)
+                 half=half, projection=projection)
 
     tiles = _round_up(T, plan.tile_t) // plan.tile_t
     rows_per_tile = plan.tile_t * hop_h // LANE
@@ -508,7 +539,7 @@ def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
             .reshape(B, 2, rows_total, LANE))
 
     bas_e, bas_o, tw, mcat, mny, d = _matrices(
-        cfg, plan.mels_pad, plan.out_pad, apply_dct)
+        cfg, plan.mels_pad, plan.out_pad, apply_dct, projection)
     if plan.half:
         # half-combine swaps roles: pcat lane Hh carries the full-DFT
         # Nyquist (p_minus[0]) INSIDE the GEMM, and bin Hh becomes the

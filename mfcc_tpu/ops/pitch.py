@@ -155,6 +155,73 @@ def nccf(xw: jnp.ndarray, pcfg: PitchConfig, mask: jnp.ndarray, *,
     return num / denom_ball, num / denom_plain
 
 
+def resolve_backend(name: str, pcfg: PitchConfig) -> str:
+    """Pitch-stage backend registry (same shape as backend.resolve):
+    auto -> the fused NCCF Pallas kernel on TPU when the config fits its
+    packed layout (kernels/fused_nccf), else the XLA GEMM path."""
+    if name not in ("auto", "xla", "pallas"):
+        raise ValueError(f"backend must be auto/xla/pallas, got {name!r}")
+    if name == "auto":
+        from .kernels import fused_nccf
+        if (jax.default_backend() == "tpu"
+                and fused_nccf.nccf_kernel_eligible(pcfg)):
+            return "pallas"
+        return "xla"
+    return name
+
+
+def mean_frame_energy(xw: jnp.ndarray, pcfg: PitchConfig,
+                      mask: jnp.ndarray) -> jnp.ndarray:
+    """(B,) masked mean of per-frame window energies e0, from ONE cumsum
+    over the work-rate signal (the kernel path's wrapper-side ballast
+    input; the XLA path derives the same quantity inside nccf() from its
+    frame tensor — equal up to f32 summation order)."""
+    w, hop = pcfg.frame_len_w, pcfg.hop_len_w
+    T = mask.shape[1]
+    Nw = xw.shape[-1]
+    cs = jnp.cumsum(xw * xw, axis=-1)
+    idx_hi = np.minimum(np.arange(T) * hop + w - 1, max(Nw - 1, 0))
+    hi = cs[:, idx_hi]
+    idx_lo = np.arange(T) * hop - 1
+    lo = jnp.where(jnp.asarray(idx_lo >= 0)[None, :],
+                   cs[:, np.maximum(idx_lo, 0)], 0.0)
+    e0 = hi - lo
+    mask_f = mask.astype(e0.dtype)
+    n_valid = jnp.maximum(mask_f.sum(axis=1), 1.0)
+    return (e0 * mask_f).sum(axis=1) / n_valid
+
+
+def _nccf_dispatch(xw: jnp.ndarray, pcfg: PitchConfig, mask: jnp.ndarray,
+                   *, precision, backend: str):
+    """nccf() or the fused Pallas kernel, per the resolved backend."""
+    if resolve_backend(backend, pcfg) == "pallas":
+        from .kernels import fused_nccf
+        from .. import backend as backend_lib
+        mean_e = mean_frame_energy(xw, pcfg, mask)
+        ball = pcfg.ballast * mean_e * mean_e
+        return fused_nccf.fused_nccf(
+            xw, ball, pcfg, T=mask.shape[1],
+            interpret=backend_lib.pallas_interpret())
+    return nccf(xw, pcfg, mask, precision=precision)
+
+
+def _viterbi_dispatch(nccf_b: jnp.ndarray, pcfg: PitchConfig, *,
+                      viterbi_block: int | None, viterbi_warm: int,
+                      backend: str) -> jnp.ndarray:
+    """viterbi()/viterbi_blocked() or the Pallas forward+backtrace
+    kernels (bit-identical paths, kernels/fused_viterbi)."""
+    if viterbi_block is not None:
+        return viterbi_blocked(nccf_b, pcfg, block=viterbi_block,
+                               warm=viterbi_warm)
+    from .kernels import fused_viterbi
+    if (resolve_backend(backend, pcfg) == "pallas"
+            and fused_viterbi.viterbi_kernel_eligible(pcfg)):
+        from .. import backend as backend_lib
+        return fused_viterbi.viterbi_pallas(
+            nccf_b, pcfg, interpret=backend_lib.pallas_interpret())
+    return viterbi(nccf_b, pcfg)
+
+
 def viterbi(nccf_b: jnp.ndarray, pcfg: PitchConfig, *,
             unroll: int = 1) -> jnp.ndarray:
     """(B, T, n_lags) masked ballasted NCCF -> (B, T) int32 lag indices.
@@ -318,7 +385,8 @@ def pitch_features(x: jnp.ndarray, lengths: jnp.ndarray,
                    pcfg: PitchConfig, *,
                    precision=jax.lax.Precision.HIGHEST,
                    viterbi_block: int | None = None,
-                   viterbi_warm: int = 128):
+                   viterbi_warm: int = 128,
+                   backend: str = "auto"):
     """(B, N) zero-padded audio at pcfg.sample_rate + (B,) true lengths ->
     ((B, T, 3) [pov, normalized log pitch, delta log pitch], (B,) frame
     counts, (B, T) mask).  Matches oracle.pitch frame-for-frame on the
@@ -339,11 +407,11 @@ def pitch_features(x: jnp.ndarray, lengths: jnp.ndarray,
     flens = jnp.minimum(flens, T)
     mask = jnp.arange(T, dtype=jnp.int32)[None, :] < flens[:, None]
 
-    nccf_b, nccf_p = nccf(xw, pcfg, mask, precision=precision)
+    nccf_b, nccf_p = _nccf_dispatch(xw, pcfg, mask, precision=precision,
+                                    backend=backend)
     nccf_b = jnp.where(mask[..., None], nccf_b, 0.0)
-    path = (viterbi(nccf_b, pcfg) if viterbi_block is None else
-            viterbi_blocked(nccf_b, pcfg, block=viterbi_block,
-                            warm=viterbi_warm))
+    path = _viterbi_dispatch(nccf_b, pcfg, viterbi_block=viterbi_block,
+                             viterbi_warm=viterbi_warm, backend=backend)
 
     ym, c, yp = _path_neighborhood(nccf_p, path)
     dlag = _parabolic_from(ym, c, yp, path, nccf_p.shape[-1])
@@ -362,7 +430,8 @@ def pitch_features(x: jnp.ndarray, lengths: jnp.ndarray,
 
 
 def pitch_track(x: jnp.ndarray, lengths: jnp.ndarray, pcfg: PitchConfig, *,
-                viterbi_block: int | None = None, viterbi_warm: int = 128):
+                viterbi_block: int | None = None, viterbi_warm: int = 128,
+                backend: str = "auto"):
     """(B, N), (B,) -> ((B, T) f0 in Hz, (B, T) plain NCCF 'voicing', mask).
     The raw track for consumers that want Hz rather than ASR features."""
     B, N = x.shape
@@ -374,11 +443,12 @@ def pitch_track(x: jnp.ndarray, lengths: jnp.ndarray, pcfg: PitchConfig, *,
           if pcfg.work_rate != pcfg.sample_rate else x.astype(jnp.float32))
     flens = jnp.minimum(pitch_frame_counts(lengths, pcfg), T)
     mask = jnp.arange(T, dtype=jnp.int32)[None, :] < flens[:, None]
-    nccf_b, nccf_p = nccf(xw, pcfg, mask)
+    nccf_b, nccf_p = _nccf_dispatch(
+        xw, pcfg, mask, precision=jax.lax.Precision.HIGHEST,
+        backend=backend)
     nccf_b = jnp.where(mask[..., None], nccf_b, 0.0)
-    path = (viterbi(nccf_b, pcfg) if viterbi_block is None else
-            viterbi_blocked(nccf_b, pcfg, block=viterbi_block,
-                            warm=viterbi_warm))
+    path = _viterbi_dispatch(nccf_b, pcfg, viterbi_block=viterbi_block,
+                             viterbi_warm=viterbi_warm, backend=backend)
     ym, c, yp = _path_neighborhood(nccf_p, path)
     lag = (pcfg.min_lag + path.astype(jnp.float32)
            + _parabolic_from(ym, c, yp, path, nccf_p.shape[-1]))

@@ -113,6 +113,19 @@ def plp_from_power_split(power_lo, power_hi, cfg: FeatureConfig, *,
     """Split-bin power spectrum -> (..., T, n_mfcc) PLP cepstra
     (liftered; energy/deltas handled by the model layer)."""
     loud = bark_loudness_split(power_lo, power_hi, cfg, precision=precision)
+    return _plp_from_loudness(loud, cfg, precision=precision)
+
+
+def plp_from_log_bark(log_bark, cfg: FeatureConfig, *, precision=None):
+    """(..., T, n_bark) floored-log band energies (the fused raw-DIT
+    kernel's projection="bark" output — identical numerics to
+    ``floored_log(bark GEMM)``) -> (..., T, n_mfcc) PLP cepstra.  The
+    cube-root loudness is one exp on the already-computed log."""
+    loud = jnp.exp(jnp.float32(0.33) * log_bark)
+    return _plp_from_loudness(loud, cfg, precision=precision)
+
+
+def _plp_from_loudness(loud, cfg: FeatureConfig, *, precision=None):
     r = autocorrelation(loud, cfg, precision=precision)
     a, e = levinson(r, cfg.lpc_order)
     c = lpc_to_cepstra(a, e, cfg.n_mfcc)

@@ -349,7 +349,7 @@ def _feature_fn(opts):
         if opts.pitch:
             from .models import pitch as pitch_model
             pcfg = _pitch_config(cfg)
-            pf, pl, _ = pitch_model.pitch_batch(a, l, pcfg)
+            pf, pl, _ = pitch_model.pitch_batch(a, l, pcfg, backend)
             pf = pitch_model.align_pitch(pf, pl, feat.shape[1])
             pf = jnp.where(mask[..., None], pf, 0.0)
             feat = jnp.concatenate([feat, pf], axis=-1)

@@ -54,6 +54,113 @@ def test_oracle_parity_tone_silence(rng):
     _check_vs_oracle(_tone_silence(rng))
 
 
+# ------------------------------------------------- fused NCCF kernel --
+
+@pytest.mark.parametrize("pcfg", [
+    PCFG,
+    PitchConfig(work_rate=2000).validate(),     # hop 20 -> P=32? no: 6.4
+    PitchConfig(min_f0=60.0, max_f0=300.0).validate(),
+])
+def test_fused_nccf_matches_xla(rng, pcfg):
+    """The Pallas NCCF kernel (interpret mode) must match ops/pitch.nccf
+    on the valid region — same correlation-theorem math, VMEM-resident
+    spectra (kernels/fused_nccf docstring)."""
+    from mfcc_tpu.ops.kernels import fused_nccf
+    if not fused_nccf.nccf_kernel_eligible(pcfg):
+        pytest.skip("config not NCCF-kernel eligible")
+    from mfcc_tpu.ops.resample import resample
+    x = _vibrato(rng, n=2 * SR)[None, :]
+    xw = np.asarray(resample(jnp.asarray(x), pcfg.sample_rate,
+                             pcfg.work_rate))
+    T = pcfg.num_frames(x.shape[1])
+    flens = pitch_op.pitch_frame_counts(
+        jnp.asarray([x.shape[1]], jnp.int32), pcfg)
+    mask = jnp.arange(T)[None, :] < jnp.minimum(flens, T)[:, None]
+    want_b, want_p = pitch_op.nccf(jnp.asarray(xw), pcfg, mask)
+    mean_e = pitch_op.mean_frame_energy(jnp.asarray(xw), pcfg, mask)
+    ball = pcfg.ballast * mean_e * mean_e
+    got_b, got_p = fused_nccf.fused_nccf(
+        jnp.asarray(xw), ball, pcfg, T=T, interpret=True)
+    v = int(flens[0])
+    np.testing.assert_allclose(np.asarray(got_b)[0, :v],
+                               np.asarray(want_b)[0, :v], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_p)[0, :v],
+                               np.asarray(want_p)[0, :v], atol=2e-5)
+
+
+def test_fused_nccf_multi_tile_and_batch(rng):
+    """Tile boundaries (tile_t < T forces >1 grid step) and batch rows
+    must be seamless."""
+    from mfcc_tpu.ops.kernels import fused_nccf
+    from mfcc_tpu.ops.resample import resample
+    pcfg = PCFG
+    second = np.pad(_tone_silence(rng), (0, SR))[: 3 * SR]
+    x = np.stack([_vibrato(rng, n=3 * SR), second]).astype(np.float32)
+    xw = np.asarray(resample(jnp.asarray(x), pcfg.sample_rate,
+                             pcfg.work_rate))
+    T = pcfg.num_frames(x.shape[1])
+    lens = jnp.asarray([3 * SR, 2 * SR], jnp.int32)
+    flens = jnp.minimum(pitch_op.pitch_frame_counts(lens, pcfg), T)
+    mask = jnp.arange(T)[None, :] < flens[:, None]
+    want_b, _ = pitch_op.nccf(jnp.asarray(xw), pcfg, mask)
+    mean_e = pitch_op.mean_frame_energy(jnp.asarray(xw), pcfg, mask)
+    ball = pcfg.ballast * mean_e * mean_e
+    P = 128 // np.gcd(pcfg.hop_len_w, 128)
+    got_b, _ = fused_nccf.fused_nccf(
+        jnp.asarray(xw), ball, pcfg, T=T, tile_t=8 * int(P),
+        interpret=True)
+    for i in range(2):
+        v = int(flens[i])
+        np.testing.assert_allclose(np.asarray(got_b)[i, :v],
+                                   np.asarray(want_b)[i, :v], atol=2e-5)
+
+
+def test_fused_viterbi_bit_identical(rng):
+    """The Pallas forward+backtrace must produce BIT-IDENTICAL paths to
+    the XLA scan (f32 min is exact; strict-< running argmin preserves
+    first-minimal-index semantics — kernels/fused_viterbi docstring)."""
+    from mfcc_tpu.ops.kernels import fused_viterbi
+    B, T, n = 3, 150, PCFG.n_lags        # T crosses two TB=64 blocks + tail
+    scores = jnp.asarray(
+        0.5 * rng.standard_normal((B, T, n)).astype(np.float32))
+    # zero-emission tail rows, as the masked pipeline produces
+    scores = scores.at[1, 100:].set(0.0)
+    want = np.asarray(pitch_op.viterbi(scores, PCFG))
+    got = np.asarray(fused_viterbi.viterbi_pallas(scores, PCFG,
+                                                  interpret=True))
+    assert got.dtype == want.dtype and got.shape == want.shape
+    assert (got == want).all()
+
+
+def test_fused_viterbi_short_and_single_step(rng):
+    from mfcc_tpu.ops.kernels import fused_viterbi
+    for T in (1, 2, 64, 65):
+        scores = jnp.asarray(
+            0.5 * rng.standard_normal((2, T, PCFG.n_lags))
+            .astype(np.float32))
+        want = np.asarray(pitch_op.viterbi(scores, PCFG))
+        got = np.asarray(fused_viterbi.viterbi_pallas(scores, PCFG,
+                                                      interpret=True))
+        assert (got == want).all(), T
+
+
+def test_pitch_pallas_backend_matches_oracle(rng):
+    """backend='pallas' end-to-end pitch features (kernel NCCF +
+    everything downstream) vs the float64 oracle, same contract as the
+    XLA path."""
+    x = _tone_silence(rng)
+    pcfg = PCFG
+    want = oracle.pitch(x.astype(np.float64), pcfg)
+    feat, flens, _ = pitch_model.pitch_batch_jit(
+        jnp.asarray(x)[None, :], jnp.asarray([x.shape[0]], jnp.int32),
+        pcfg, "pallas")
+    got = np.asarray(feat[0])[: int(flens[0])]
+    assert got.shape == want.shape
+    for i, nm in enumerate(("pov", "norm", "delta")):
+        err = float(np.abs(got[:, i] - want[:, i]).max())
+        assert err < ATOL[nm], (nm, err)
+
+
 def test_oracle_parity_vibrato(rng):
     _check_vs_oracle(_vibrato(rng))
 

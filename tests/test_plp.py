@@ -115,6 +115,41 @@ def test_plp_batch_matches_single_and_masks(rng):
         assert np.all(np.asarray(feat[i, T:]) == 0.0)
 
 
+@pytest.mark.parametrize("variant", [
+    dict(),
+    dict(n_bark=17, lifter=22),
+    dict(deltas=True),
+    dict(append_energy=True),
+])
+def test_plp_pallas_backend_matches_oracle_and_xla(rng, variant):
+    """backend='pallas' routes the spectral front half through the raw-DIT
+    kernel with the bark projection (interpret mode on CPU); the result
+    must match BOTH the float64 oracle (contract) and the XLA path
+    (tight: same f32 stages, different spectral factorization)."""
+    cfg = FeatureConfig(**variant).validate()
+    x = (0.3 * rng.standard_normal(cfg.sample_rate)).astype(np.float32)
+    got = np.asarray(plp_model.plp_jit(jnp.asarray(x), cfg, "pallas"))
+    want = oracle.plp(x.astype(np.float64), cfg)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=ATOL)
+    xla = np.asarray(plp_model.plp_jit(jnp.asarray(x), cfg, "xla"))
+    # 5e-5: the liftered variants multiply high cepstra by up to ~12,
+    # amplifying the two paths' different-factorization f32 roundoff
+    np.testing.assert_allclose(got, xla, atol=5e-5)
+
+
+def test_plp_pallas_batch_masks(rng):
+    xs = (0.3 * rng.standard_normal((2, 16000))).astype(np.float32)
+    lens = np.array([16000, 9000], np.int32)
+    feat, flens, mask = plp_model.plp_batch_jit(
+        jnp.asarray(xs), jnp.asarray(lens), CFG, "pallas")
+    fx, _, _ = plp_model.plp_batch_jit(
+        jnp.asarray(xs), jnp.asarray(lens), CFG, "xla")
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(fx), atol=2e-5)
+    T = int(flens[1])
+    assert np.all(np.asarray(feat[1, T:]) == 0.0)
+
+
 def test_plp_degenerate_silence():
     """All-zero audio must produce finite features (log-floored), no NaNs."""
     x = jnp.zeros((8000,), jnp.float32)
