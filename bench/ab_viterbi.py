@@ -37,8 +37,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--modes", nargs="+", default=[
-        "nccf", "viterbi-u1", "viterbi-u8", "viterbi-blocked",
-        "pitch-full", "pitch-full-blocked"])
+        "nccf", "nccf-pallas", "viterbi-u1", "viterbi-pallas",
+        "pitch-full", "pitch-full-pallas"])
     ap.add_argument("--long-seconds", type=float, default=360.0,
                     help="utterance length for the longform-* modes (B=1)")
     ap.add_argument("--block", type=int, default=256)
@@ -87,6 +87,24 @@ def main():
                 b, _ = pitch_op.nccf(x, pcfg, mask)
                 return b
             return fn, xw
+        if mode == "nccf-pallas":
+            from mfcc_tpu.ops.kernels import fused_nccf
+
+            def fn(x):
+                mean_e = pitch_op.mean_frame_energy(x, pcfg, mask)
+                ball = pcfg.ballast * mean_e * mean_e
+                b, _ = fused_nccf.fused_nccf(x, ball, pcfg, T=int(T))
+                return b
+            return fn, xw
+        if mode == "viterbi-pallas":
+            from mfcc_tpu.ops.kernels import fused_viterbi
+            return (lambda s: fused_viterbi.viterbi_pallas(s, pcfg)), nccf_b
+        if mode == "pitch-full-pallas":
+            def fn(x):
+                f, _, _ = pitch_op.pitch_features(x, lengths_d, pcfg,
+                                                  backend="pallas")
+                return f
+            return fn, audio_d
         if mode.startswith("viterbi-u"):
             u = int(mode[len("viterbi-u"):])
             return (lambda s: pitch_op.viterbi(s, pcfg, unroll=u)), nccf_b

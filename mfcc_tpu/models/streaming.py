@@ -198,6 +198,104 @@ def process_chunks_batch_jit(state: StreamState, chunks: jnp.ndarray,
                             variant=variant))(state, chunks)
 
 
+def process_chunks_batch_fused(state: StreamState, chunks: jnp.ndarray,
+                               cfg: FeatureConfig, variant: str = "mfcc"):
+    """High-throughput serving step through the fused Pallas kernel
+    (VERDICT r3 #7): advance B sessions by K chunks in ONE kernel launch
+    instead of a K-step scan of the XLA engine.
+
+    chunks: (B, K, chunk_frames*hop).  Returns (state', feats
+    (B, K*chunk_frames, n_out), n_new (B,)): the frames COMPLETED this
+    dispatch, contiguously — rows [0, n_new) are global frames
+    [state.frames_done, state.frames_done + n_new), rows beyond are
+    zero.  (The scan path's slot layout zero-fills startup slots; for a
+    serving consumer the contiguous layout is the useful one, and
+    ``stream_dechunk`` in tests shows the exact correspondence.)
+
+    How: the K chunks of one session are contiguous audio, so the whole
+    dispatch is a batch of B short "utterances" — carry-prefix, one
+    signal-convention pre-emphasis over the buffer (continuity across
+    dispatches comes from the carry, exactly as process_chunk), one
+    per-session hop-aligned dynamic slice, then the v5 merged raw-DIT
+    kernel with pre-emphasis disabled (the buffer is already
+    pre-emphasized; the kernel's own x[-1] := x[0] convention only
+    applies at a true signal start, which the carry patch already
+    encodes).  Numerics: same kernel-vs-XLA envelope as the batch
+    pipeline (~2e-5 cepstral; tests/test_streaming.py pins it) — the
+    one deliberate deviation from the streaming-bit-equals-batch
+    invariant, traded for the measured kernel throughput
+    (bench/ab_streaming.json).
+    """
+    from .. import backend as backend_lib
+    from ..ops import kernels
+    if variant not in ("mfcc", "logmel", "plp"):
+        raise ValueError(f"unknown streaming variant {variant!r}")
+    if not kernels.fused_raw_dit.raw_dit_kernel_eligible(cfg):
+        raise ValueError("config not eligible for the fused serving path "
+                         "(use process_chunks_batch_jit)")
+    fl, hop = cfg.frame_len, cfg.hop_len
+    B, K, C = chunks.shape
+    if C % hop != 0:
+        raise ValueError(f"chunk length {C} must be a multiple of hop {hop}")
+    n_slots = C // hop
+    Kn = K * n_slots
+    flat = chunks.reshape(B, K * C)
+    if flat.dtype == jnp.int16:
+        flat = flat.astype(jnp.float32) * (1.0 / 32768.0)
+    if cfg.dither > 0.0:
+        from ..ops import dither as dither_op
+        flat = jax.vmap(
+            lambda xi, st: dither_op.apply_jax(xi, cfg, start=st))(
+                flat, state.samples_seen)
+
+    carry = state.carry
+    carry = jnp.where((state.samples_seen == 0)[:, None],
+                      carry.at[:, -1].set(flat[:, 0]), carry)
+    buf = jnp.concatenate([carry, flat], axis=1)       # (B, fl + K*C)
+    if cfg.preemph > 0.0:
+        prev = jnp.concatenate([buf[:, :1], buf[:, :-1]], axis=1)
+        z = buf - jnp.asarray(cfg.preemph, buf.dtype) * prev
+    else:
+        z = buf
+    off0 = state.frames_done * hop - state.samples_seen + fl   # (B,)
+    span = (Kn - 1) * hop + fl
+    zx = jnp.concatenate([z, jnp.zeros((B, fl - hop), z.dtype)], axis=1)
+    y = jax.vmap(lambda zi, o: jax.lax.dynamic_slice(zi, (o,), (span,)))(
+        zx, off0)
+
+    kcfg = cfg.replace(preemph=0.0)
+    interp = backend_lib.pallas_interpret()
+    if variant == "plp":
+        from ..ops import plp as plp_ops
+        log_bark = kernels.fused_raw_dit.fused_features_raw_dit(
+            y, kcfg, apply_dct=False, merged=True, projection="bark",
+            interpret=interp)
+        feat = plp_ops.plp_from_log_bark(log_bark, cfg)
+        if cfg.append_energy:
+            feat = feat.at[..., 0].set(
+                spectrum.log_energy_blocked(y, kcfg))
+    else:
+        feat = kernels.fused_raw_dit.fused_features_raw_dit(
+            y, kcfg, apply_dct=(variant == "mfcc"), merged=True,
+            interpret=interp)
+
+    new_seen = state.samples_seen + K * C
+    total = _num_frames_dyn(new_seen, cfg)
+    n_new = total - state.frames_done
+    r = jnp.arange(Kn, dtype=jnp.int32)
+    feat = jnp.where((r < n_new[:, None])[..., None], feat, 0.0)
+    new_state = StreamState(carry=buf[:, -fl:], samples_seen=new_seen,
+                            frames_done=total)
+    return new_state, feat, n_new
+
+
+@partial(jax.jit, static_argnames=("cfg", "variant"))
+def process_chunks_batch_fused_jit(state: StreamState, chunks: jnp.ndarray,
+                                   cfg: FeatureConfig,
+                                   variant: str = "mfcc"):
+    return process_chunks_batch_fused(state, chunks, cfg, variant)
+
+
 class OnlineCmvnState(NamedTuple):
     """Carry for causal online CMVN over a feature stream: the trailing
     ``window - 1`` emitted frames in the offset-shifted domain (zeros

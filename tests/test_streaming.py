@@ -196,6 +196,43 @@ def test_multichunk_multisession_dispatch(speechlike):
                                    atol=1e-5)
 
 
+@pytest.mark.parametrize("variant", ["mfcc", "logmel", "plp"])
+def test_fused_serving_matches_scan_path(speechlike, variant):
+    """process_chunks_batch_fused (v5 kernel serving path) emits the
+    SAME frames as the scan path, contiguously — across two dispatches
+    (startup shift + carry continuity), within the kernel-vs-XLA
+    envelope (~2e-5 cepstral; the documented deviation from streaming
+    bit-equality, see the function docstring)."""
+    B, K, CF = 2, 3, 8
+    C = CF * CFG.hop_len
+    xs = np.stack([speechlike[: 2 * K * C],
+                   np.roll(speechlike, 777)[: 2 * K * C]])
+    st_s = streaming.init_state_batch(B, CFG)
+    st_f = streaming.init_state_batch(B, CFG)
+    for d in range(2):   # two dispatches
+        chunks = jnp.asarray(
+            xs[:, d * K * C: (d + 1) * K * C].reshape(B, K, C))
+        st_s, feats_s, nvs = streaming.process_chunks_batch_jit(
+            st_s, chunks, CFG, variant)
+        st_f, feats_f, n_new = streaming.process_chunks_batch_fused_jit(
+            st_f, chunks, CFG, variant)
+        for b in range(B):
+            # de-slot the scan output to contiguous valid frames
+            rows = [np.asarray(feats_s[b, k])[: int(nvs[b, k])]
+                    for k in range(K)]
+            want = (np.concatenate(rows) if rows
+                    else np.zeros((0, feats_f.shape[-1])))
+            assert int(n_new[b]) == want.shape[0]
+            got = np.asarray(feats_f[b])
+            np.testing.assert_allclose(got[: want.shape[0]], want,
+                                       atol=5e-5)
+            assert np.all(got[want.shape[0]:] == 0.0)
+        np.testing.assert_allclose(np.asarray(st_f.carry),
+                                   np.asarray(st_s.carry), atol=0)
+        np.testing.assert_array_equal(np.asarray(st_f.frames_done),
+                                      np.asarray(st_s.frames_done))
+
+
 def test_streaming_logmel_matches_batch(rng):
     """variant='logmel' streams the DCT-skipped pipeline bit-consistently
     with the batch log-mel model's prefix."""
