@@ -24,9 +24,12 @@ import argparse
 import json
 import os
 import statistics
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -154,8 +157,11 @@ def main():
                 return jnp.stack([pov, norm, d], axis=-1)
             return fn, nccf_b
         if mode == "pitch-full":
+            # forced XLA: "auto" resolves to the Pallas kernels on TPU
+            # since r4, so the honest baseline row pins backend="xla"
             def fn(x):
-                f, _, _ = pitch_op.pitch_features(x, lengths_d, pcfg)
+                f, _, _ = pitch_op.pitch_features(x, lengths_d, pcfg,
+                                                  backend="xla")
                 return f
             return fn, audio_d
         if mode == "pitch-full-blocked":

@@ -1,9 +1,16 @@
-"""Ablation probe for the fused DIT kernel: where does the time go?
+"""Ablation probe for the LEGACY fused DIT kernel (v2): where did its
+time go?
 
-The kernel runs at ~34% of the bf16x6 MXU ceiling (docs/performance.md),
-so the bound is NOT the GEMMs.  This probe times the full kernel against
-variants with one suspected cost knocked out — each variant is
-numerically WRONG by construction (it is a timing probe, not a feature):
+HISTORICAL (r2): this probe established that the v2 DIT kernel's bound
+was its XLA-side prep chain (~47% of pipeline time), which motivated the
+v3 raw-layout kernel and everything after.  It is kept runnable for the
+v2 kernel only; the CURRENT kernel generation's ceiling question (v5
+merged raw-DIT vs the attainable GEMM+DMA roofline at its exact shapes)
+is answered by bench/roofline.py -> bench/roofline.json — use that, not
+this, for any %-of-ceiling claim (VERDICT r3 #2/#8).
+
+Each variant here is numerically WRONG by construction (it is a timing
+probe, not a feature):
 
 - base        unmodified fused_features_dit (adaptive tile)
 - tile=N      explicit tile_t sweep (grid-step amortization)

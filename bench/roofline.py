@@ -112,7 +112,7 @@ def main():
 
     prec = jax.lax.Precision.HIGHEST
 
-    def probe_kernel(raw_hbm, lhs, be, bo, mc, dc, out_ref, buf, sem, *,
+    def probe_kernel(raw_hbm, be, bo, mc, dc, out_ref, buf, sem, *,
                      mode):
         b = pl.program_id(0)
         t = pl.program_id(1)
@@ -140,8 +140,12 @@ def main():
             out_ref[0, :, :] = jnp.full((plan.tile_t, OP), x0[0, 0],
                                         jnp.float32)
             return
-        # tie the DMA'd data into the chain so it cannot be elided
-        L = lhs[:] + x0[0, 0]
+        # build the (M, H) GEMM LHS in VMEM from the DMA'd buffer (as v5
+        # does via its roll+select assembly — a constant HBM operand here
+        # would add a per-step refetch v5 doesn't pay): 8 buffer rows,
+        # lane-doubled by an aligned concat, sublane-repeated to M rows
+        xr = jnp.concatenate([x0[0:8, :], x0[8:16, :]], axis=1)  # (8, 256)
+        L = pltpu.repeat(xr, repeats=M // 8, axis=0)             # (M, 256)
         Se = jnp.dot(L[:, :K], be[:], preferred_element_type=jnp.float32,
                      precision=prec)
         So = jnp.dot(L[:, :K], bo[:], preferred_element_type=jnp.float32,
@@ -156,9 +160,6 @@ def main():
         out_ref[0, :, :] = f
 
     def make_probe(mode):
-        lhs = jnp.asarray(
-            0.1 * np.random.default_rng(1).standard_normal((M, H)),
-            jnp.float32)
         bej = jnp.asarray(bas_e[:K])     # (200, 256)
         boj = jnp.asarray(bas_o[:plan.Lo])
         if plan.Lo != K:                  # pad odd parity to same K
@@ -168,7 +169,7 @@ def main():
         call = pl.pallas_call(
             functools.partial(probe_kernel, mode=mode),
             grid=(B, tiles),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vmem] * 5,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vmem] * 4,
             out_specs=pl.BlockSpec((1, plan.tile_t, OP),
                                    lambda b, t: (b, t, 0),
                                    memory_space=pltpu.VMEM),
@@ -182,7 +183,7 @@ def main():
         )
 
         def fn(x):
-            return call(raw_of(x), lhs, bej, boj, mcj, dcj)
+            return call(raw_of(x), bej, boj, mcj, dcj)
         return fn
 
     def make_fn(variant):

@@ -4,6 +4,15 @@ The third member of the feature family (MFCC / log-mel / spectrogram):
 (T, n_bins) floored log power spectra, same framing/window/DFT contract
 as the rest of the pipeline.  Useful for neural front-ends that learn
 their own filterbanks downstream.
+
+Backend note (r4): the kernel route (``auto`` on TPU) runs the v5
+merged raw-DIT Pallas kernel with ``projection="spec"`` — the packed
+conjugate-symmetry |X|^2 vector is floored-logged in-kernel and the bin
+permutation undone by one static wrapper relayout; no projection GEMM
+exists at all.  ``xla`` keeps the hop-block path.  Accuracy: the kernel
+route's 50 dB-window contract is 2e-4 (the DIT combine adds one f32
+rounding stage — the same effect behind the unbounded-log-mel v3
+carve-out); strict-1e-4 consumers pass backend="xla".
 """
 
 from __future__ import annotations
@@ -14,12 +23,24 @@ import jax
 import jax.numpy as jnp
 
 from ..config import FeatureConfig
+from .. import backend as backend_lib
 from ..ops import framing, spectrum, xmath
 from .mfcc import frame_lengths, frame_mask
 
 
-def log_spectrogram(x: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+def log_spectrogram(x: jnp.ndarray, cfg: FeatureConfig,
+                    backend: str = "auto") -> jnp.ndarray:
     """(n_samples,) -> (T, n_bins) floored log power spectrum."""
+    from ..ops import kernels
+    if (backend_lib.resolve(backend, cfg) == "pallas"
+            and kernels.fused_raw_dit.raw_dit_kernel_eligible(cfg)):
+        squeeze = x.ndim == 1
+        xb = x[None, :] if squeeze else x
+        with jax.named_scope("fused_raw_dit_spec_kernel"):
+            feat = kernels.fused_raw_dit.fused_features_raw_dit(
+                xb, cfg, apply_dct=False, merged=True, projection="spec",
+                interpret=backend_lib.pallas_interpret())
+        return feat[0] if squeeze else feat
     y = framing.preemphasize(x, cfg)
     p_lo, p_hi = spectrum.power_spectrum_split(y, cfg)
     power = jnp.concatenate([p_lo, p_hi], axis=-1)
@@ -27,23 +48,24 @@ def log_spectrogram(x: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
 
 
 def log_spectrogram_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
-                          cfg: FeatureConfig):
+                          cfg: FeatureConfig, backend: str = "auto"):
     """(B, N_pad), (B,) -> ((B, T, n_bins), (B,), (B, T))."""
     if x.dtype == jnp.int16:
         x = x.astype(jnp.float32) * (1.0 / 32768.0)
-    feat = log_spectrogram(x, cfg)
+    feat = log_spectrogram(x, cfg, backend)
     flens = frame_lengths(sample_lengths, cfg)
     mask = frame_mask(feat.shape[-2], flens)
     feat = jnp.where(mask[..., None], feat, 0.0)
     return feat, flens, mask
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def log_spectrogram_jit(x: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
-    return log_spectrogram(x, cfg)
+@partial(jax.jit, static_argnames=("cfg", "backend"))
+def log_spectrogram_jit(x: jnp.ndarray, cfg: FeatureConfig,
+                        backend: str = "auto") -> jnp.ndarray:
+    return log_spectrogram(x, cfg, backend)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "backend"))
 def log_spectrogram_batch_jit(x: jnp.ndarray, sample_lengths: jnp.ndarray,
-                              cfg: FeatureConfig):
-    return log_spectrogram_batch(x, sample_lengths, cfg)
+                              cfg: FeatureConfig, backend: str = "auto"):
+    return log_spectrogram_batch(x, sample_lengths, cfg, backend)

@@ -22,6 +22,20 @@ framework hand-writes MXU/VPU kernels in Pallas.
   cepstral outputs and bounded-range (<= 50 dB) log-mel; unbounded
   log-mel stays on v3 (valley-accuracy, see module docstring).
 
+- :mod:`fused_nccf` — r4: the pitch NCCF stage as one kernel (in-VMEM
+  frame assembly on the work-rate lane-phase layout, packed [cos|sin]
+  spectra, correlation-theorem combine, lag-grid IDFT + window-energy
+  GEMMs) — the v3->v5 playbook applied to the pitch front end
+  (bench/ab_viterbi.json r4).
+- :mod:`fused_viterbi` — r4: the pitch Viterbi forward recursion and
+  backtrace as two kernels (batch on lanes, lags on sublanes, the whole
+  T-step chain inside the grid) — bit-identical paths to the lax.scan.
+
+The raw-DIT kernel also serves PLP (projection="bark": the
+bark+equal-loudness matrix replaces mel, output = floored-log band
+energies) and the fused serving path (models/streaming.
+process_chunks_batch_fused).
+
 Every kernel ships with an ``interpret=True`` parity path and is tested
 against the jnp stages on CPU (tests/test_kernels.py) — the TPU analog of
 a sanitizer build (SURVEY.md §5).

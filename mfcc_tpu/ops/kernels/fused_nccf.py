@@ -232,7 +232,7 @@ def _kernel(xw_hbm, ball_ref, b_full, b_win, cl, band, out_ref, buf, sem,
     e0 = jnp.sum(jnp.where(laneF < plan.w, E2, 0.0), axis=1,
                  keepdims=True)
 
-    ball = ball_ref[0, 0]
+    ball = ball_ref[0, 0, 0]
     prod = jnp.maximum(e0 * e_lag, 1e-30)
     nccf_b = num / jnp.sqrt(prod + ball)
     nccf_p = num / jnp.sqrt(prod)
@@ -275,15 +275,19 @@ def fused_nccf(xw: jnp.ndarray, ball: jnp.ndarray, pcfg: PitchConfig, *,
         B, rows_total, LANE)
 
     b_full, b_win, cl, band = _matrices(pcfg)
+    # (B, 1, LANE): the per-utterance ballast; the trailing (1, LANE)
+    # block equals the array's trailing dims (Mosaic requires full-dim
+    # or 8/128-divisible blocks — a (1, LANE) block of a (B, LANE)
+    # array fails the sublane rule on hardware)
     ball_in = jnp.broadcast_to(
-        ball.astype(jnp.float32)[:, None], (B, LANE))
+        ball.astype(jnp.float32)[:, None, None], (B, 1, LANE))
 
     vmem_const = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, plan=plan, hop=hop),
         grid=(B, tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec((1, LANE), lambda b, t: (b, 0),
+                  pl.BlockSpec((1, 1, LANE), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [vmem_const] * 4,
         out_specs=pl.BlockSpec(

@@ -96,6 +96,11 @@ class _PlanDit(NamedTuple):
     projection: str   # "mel" (default) | "bark" (PLP front half: the
                       # bark+equal-loudness filterbank replaces mel and
                       # the kernel output is floored-log band energies)
+                      # | "spec" (log-power spectrogram: no projection
+                      # GEMM at all — the packed |X|^2 vector is logged
+                      # in place and shipped in PACKED bin order with
+                      # the full-DFT Nyquist in lane H; the wrapper
+                      # depermutes with one static relayout)
 
 
 def raw_dit_kernel_eligible(cfg: FeatureConfig) -> bool:
@@ -123,15 +128,21 @@ def _plan(cfg: FeatureConfig, tile_t: int, apply_dct: bool,
     rpp = hop_h * P // LANE
     assert tile_t % (8 * P) == 0 or (tile_t % P == 0 and (tile_t // P) % 8 == 0), \
         "tile must give sublane-aligned frames-per-phase"
-    assert projection in ("mel", "bark")
+    assert projection in ("mel", "bark", "spec")
     assert projection == "mel" or not apply_dct, \
-        "bark projection emits band energies; PLP's LPC chain replaces DCT"
+        "bark/spec projections emit band/bin energies; no DCT stage"
     fpp = tile_t // P
     nper = fpp + 1
     rows_span = _round_up(nper * rpp, 8)
-    n_proj = cfg.n_mels if projection == "mel" else cfg.n_bark
-    mels_pad = _round_up(n_proj, LANE)
-    out_pad = _round_up(cfg.n_mfcc, LANE) if apply_dct else mels_pad
+    if projection == "spec":
+        # packed |X|^2 lanes [0, H) + one aligned LANE block whose col 0
+        # carries the full-DFT Nyquist bin -> H + LANE output lanes
+        mels_pad = LANE                       # dummy operands, unused
+        out_pad = cfg.n_fft // 2 + LANE
+    else:
+        n_proj = cfg.n_mels if projection == "mel" else cfg.n_bark
+        mels_pad = _round_up(n_proj, LANE)
+        out_pad = _round_up(cfg.n_mfcc, LANE) if apply_dct else mels_pad
     # The merged path additionally needs >1 phase (something to merge)
     # and the whole frame inside one period row (roll+select cannot
     # widen lanes).  Deriving half/pm_out from the FULL eligibility here
@@ -153,11 +164,40 @@ def _plan(cfg: FeatureConfig, tile_t: int, apply_dct: bool,
         append_energy=cfg.append_energy and projection == "mel",
         preemph=cfg.preemph, log_floor=cfg.log_floor,
         rel_floor=(0.0 if (cfg.dynamic_range_db is None
-                           or projection == "bark")
+                           or projection != "mel")
                    else 10.0 ** (-cfg.dynamic_range_db / 10.0)),
         precision=cfg.matmul_precision, merged=merged,
-        pm_out=pm_out and merged, half=half and merged,
+        pm_out=pm_out and merged,
+        half=half and merged and projection == "mel",
         projection=projection)
+
+
+def spec_bin_permutation(cfg: FeatureConfig) -> np.ndarray:
+    """Natural bin b -> packed output lane, inverting the kernel's
+    conjugate-symmetry layout (lane k <= Hh: bin k; lane Hh + j: bin
+    H - j; lane H: full-DFT Nyquist).  Static indices — the wrapper's
+    depermute is one XLA relayout, never a TPU dynamic gather."""
+    H = cfg.n_fft // 2
+    Hh = H // 2
+    perm = np.empty((cfg.n_bins,), np.int64)
+    for b in range(cfg.n_bins):
+        if b <= Hh:
+            perm[b] = b
+        elif b < H:
+            perm[b] = Hh + (H - b)
+        else:
+            perm[b] = H
+    return perm
+
+
+def _spec_pack(pcat, p_minus):
+    """Spectrogram projection: the packed |X|^2 vector plus one aligned
+    LANE block whose col 0 carries the full-DFT Nyquist (= p_minus[0]).
+    The bin permutation stays packed; the wrapper depermutes with one
+    static relayout (spec_bin_permutation)."""
+    pad = jax.lax.broadcasted_iota(jnp.int32, (pcat.shape[0], LANE), 1)
+    nyq = jnp.where(pad == 0, p_minus[:, :1], 0.0)
+    return jnp.concatenate([pcat, nyq], axis=1)
 
 
 def _phase_gemm(W, Wn, basis, lo, L, row_lanes, prec):
@@ -340,9 +380,13 @@ def _kernel(*refs, plan: _PlanDit, hop_h: int):
             lane2 = jax.lax.broadcasted_iota(jnp.int32, p_plus.shape, 1)
             pcat = jnp.where(lane2 <= Hh, p_plus,
                              pltpu.roll(p_minus, shift=Hh, axis=1))
-            e = (jnp.dot(pcat, mcat[:], preferred_element_type=jnp.float32,
-                         precision=prec)
-                 + p_minus[:, :1] * mny[0:1, :])
+            if plan.projection == "spec":
+                e = _spec_pack(pcat, p_minus)
+            else:
+                e = (jnp.dot(pcat, mcat[:],
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+                     + p_minus[:, :1] * mny[0:1, :])
         if plan.rel_floor > 0.0:
             rel = jnp.max(e, axis=1, keepdims=True) * plan.rel_floor
             e = jnp.maximum(e, rel)
@@ -395,9 +439,12 @@ def _kernel(*refs, plan: _PlanDit, hop_h: int):
         lane2 = jax.lax.broadcasted_iota(jnp.int32, p_plus.shape, 1)
         pcat = jnp.where(lane2 <= Hh, p_plus,
                          pltpu.roll(p_minus, shift=Hh, axis=1))
-        e = (jnp.dot(pcat, mcat[:], preferred_element_type=jnp.float32,
-                     precision=prec)
-             + p_minus[:, :1] * mny[0:1, :])
+        if plan.projection == "spec":
+            e = _spec_pack(pcat, p_minus)
+        else:
+            e = (jnp.dot(pcat, mcat[:], preferred_element_type=jnp.float32,
+                         precision=prec)
+                 + p_minus[:, :1] * mny[0:1, :])
         if plan.rel_floor > 0.0:
             rel = jnp.max(e, axis=1, keepdims=True) * plan.rel_floor
             e = jnp.maximum(e, rel)
@@ -464,6 +511,12 @@ def _matrices(cfg: FeatureConfig, mels_pad: int, out_pad: int,
     if projection == "mel":
         mel = mel_op.mel_matrix(cfg)                  # (n_bins, n_mels) f64
         n_proj = cfg.n_mels
+    elif projection == "spec":
+        # spectrogram: no projection GEMM — mcat/mny/dctm are unused
+        # dummy operands (the kernel's spec branch logs the packed |X|^2
+        # vector directly)
+        mel = np.zeros((cfg.n_bins, 1), np.float64)
+        n_proj = 1
     else:
         # PLP front half: the bark critical-band filterbank with the
         # equal-loudness curve folded in (oracle.bark_filterbank), same
@@ -509,6 +562,8 @@ def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
     T = cfg.num_frames(N)
     if projection == "bark":
         n_out = cfg.n_bark
+    elif projection == "spec":
+        n_out = cfg.n_bins
     else:
         n_out = cfg.n_mfcc if apply_dct else cfg.n_mels
     if T <= 0:
@@ -583,4 +638,6 @@ def fused_features_raw_dit(x: jnp.ndarray, cfg: FeatureConfig, *,
         out = (out.reshape(B, tiles_, plan.P, plan.fpp, plan.out_pad)
                   .transpose(0, 1, 3, 2, 4)
                   .reshape(B, tiles_ * plan.tile_t, plan.out_pad))
+    if projection == "spec":
+        return out[:, :T, spec_bin_permutation(cfg)]
     return out[:, :T, :n_out]

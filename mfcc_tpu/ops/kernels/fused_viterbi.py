@@ -129,18 +129,18 @@ def _bwd_kernel(bp, last, path_out, nxt, *, plan: _PlanVit):
 
         @pl.when(t_glob == plan.T - 1)
         def _():
-            nxt[:, :] = last[:]
+            nxt[:, :] = jnp.broadcast_to(last[:], nxt.shape)
 
         @pl.when(t_glob <= plan.T - 1)
         def _():
-            path_out[pl.ds(k, 1), :] = nxt[:, :]
+            path_out[pl.ds(k, 1), :] = nxt[0: 1, :]
 
         @pl.when((t_glob > 0) & (t_glob <= plan.T - 1))
         def _():
             # nxt <- bp[t][nxt]: one-hot sublane contraction
             oh = sub == nxt[0: 1, :]
-            nxt[:, :] = jnp.sum(jnp.where(oh, bp[k], 0), axis=0,
-                                keepdims=True)
+            row = jnp.sum(jnp.where(oh, bp[k], 0), axis=0, keepdims=True)
+            nxt[:, :] = jnp.broadcast_to(row, nxt.shape)
         return carry
 
     jax.lax.fori_loop(0, TB, step, 0)
@@ -201,7 +201,9 @@ def viterbi_pallas(nccf_b: jnp.ndarray, pcfg: PitchConfig, *,
             (TB, LANE), lambda b, g, n_tb=plan.n_tb: (n_tb - 1 - g, b),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((plan.Tpad, Bp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, LANE), jnp.int32)],
+        # (8, LANE), row 0 live: a (1, LANE) scratch is below the int32
+        # min-tile sublane count on hardware
+        scratch_shapes=[pltpu.VMEM((8, LANE), jnp.int32)],
         interpret=interpret,
     )(bp, last[None, :])
 
