@@ -248,13 +248,14 @@ def main():
         "serving_sessions": Bs,
         "serving_audio_sec_per_s": Bs * (C / sr) / dtb,
         "serving_per_dispatch_latency_ms": 1000.0 * dtb,
-        "environment_caveat": "every *latency* / *_1chunk* row above is "
-            "one host->device dispatch per chunk and in THIS environment "
-            "is floored by the axon relay's ~2-3 ms round-trip, not the "
-            "chip (docs/performance.md 'Environment caveat'); on directly "
-            "attached TPUs the dispatch floor is ~100x lower.  The "
-            "Kchunks/serving rows amortize the round-trip and reflect "
-            "real device throughput.",
+        "environment_caveat": "every per-dispatch row (*latency*, "
+            "*_1chunk*, and the serving_* pair — one dispatch per "
+            "B-session chunk step) is floored by the axon relay's "
+            "~2-3 ms host->device round-trip in THIS environment, not "
+            "the chip (docs/performance.md 'Environment caveat'); on "
+            "directly attached TPUs the dispatch floor is ~100x lower. "
+            "Only the Kchunks row here amortizes the round-trip; the "
+            "amortized B x K serving path is bench/ab_streaming.json.",
         "max_abs_error_vs_oracle": err4}
 
     # config 5: functional multi-host validation is covered by

@@ -43,6 +43,33 @@ def test_data_parallel_mfcc_matches_single_device(rng):
     np.testing.assert_array_equal(np.asarray(fl_d), np.asarray(fl))
 
 
+def test_data_parallel_pallas_kernels_match_single_device(rng):
+    """The Pallas kernel routes (mfcc v5 raw-DIT, pitch NCCF+Viterbi)
+    must be correct under a data-sharded mesh (interpret mode on the
+    fake pod; the SPMD partitioner handles the pallas_call by
+    replication/gather — correctness coverage for the pod path that
+    backend='auto' takes on real TPU slices)."""
+    from mfcc_tpu.config import PitchConfig
+    from mfcc_tpu.models import pitch as pitch_model
+    xs, lens = _batch(rng)
+    m = mesh_lib.make_mesh()
+    xd = mesh_lib.shard_batch(xs, m)
+    ld = mesh_lib.shard_batch(lens, m)
+    feat_d, fl_d, _ = mfcc_model.mfcc_batch_jit(xd, ld, CFG, "pallas")
+    feat, fl, _ = mfcc_model.mfcc_batch_jit(
+        jnp.asarray(xs), jnp.asarray(lens), CFG, "pallas")
+    np.testing.assert_allclose(np.asarray(feat_d), np.asarray(feat),
+                               atol=3e-5)
+    np.testing.assert_array_equal(np.asarray(fl_d), np.asarray(fl))
+    pcfg = PitchConfig().validate()
+    pf_d, pl_d, _ = pitch_model.pitch_batch_jit(xd, ld, pcfg, "pallas")
+    pf, pl, _ = pitch_model.pitch_batch_jit(
+        jnp.asarray(xs), jnp.asarray(lens), pcfg, "pallas")
+    np.testing.assert_allclose(np.asarray(pf_d), np.asarray(pf),
+                               atol=3e-4)
+    np.testing.assert_array_equal(np.asarray(pl_d), np.asarray(pl))
+
+
 def test_sharded_output_layout(rng):
     xs, lens = _batch(rng)
     m = mesh_lib.make_mesh()
