@@ -76,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="log-mel filterbank output (skip DCT)")
     f.add_argument("--plp", action="store_true",
                    help="PLP cepstra (bark critical bands + LPC model)")
+    f.add_argument("--spectrogram", action="store_true",
+                   help="log-power spectrogram output (T, n_fft/2+1) — "
+                        "no mel, no DCT (models/spectrogram.py; kernel "
+                        "route contract 2e-4 in a 50 dB window, "
+                        "docs/conventions.md)")
     f.add_argument("--n-bark", type=int, default=21,
                    help="PLP critical-band filter count")
     f.add_argument("--lpc-order", type=int, default=12,
@@ -110,8 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(a) -> FeatureConfig:
-    if a.logmel and a.plp:
-        raise SystemExit("--logmel and --plp are mutually exclusive")
+    if sum(map(bool, (a.logmel, a.plp, getattr(a, "spectrogram", False)))) > 1:
+        raise SystemExit("--logmel, --plp and --spectrogram are mutually "
+                         "exclusive")
+    if getattr(a, "spectrogram", False) and a.deltas:
+        raise SystemExit("--spectrogram has no delta append (consume the "
+                         "raw spectra or use --logmel --deltas)")
     n_mels = a.n_mels
     n_mfcc = n_mels if a.logmel else a.n_mfcc
     return FeatureConfig(
@@ -138,6 +147,7 @@ def main(argv=None) -> int:
     cfg = config_from_args(a)
     opts = RunnerOptions(
         out_dir=a.out, batch_size=a.batch_size, logmel=a.logmel, plp=a.plp,
+        spectrogram=a.spectrogram,
         pitch=a.pitch, cmvn_sliding=a.cmvn_sliding,
         cmvn_online=a.cmvn_online, cmvn_online_prior=a.cmvn_online_prior,
         splice=a.splice,

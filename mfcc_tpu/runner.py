@@ -153,6 +153,7 @@ class RunnerOptions:
     batch_size: int = 16
     logmel: bool = False              # log-mel pipeline instead of MFCC
     plp: bool = False                 # PLP pipeline instead of MFCC
+    spectrogram: bool = False         # log-power spectrogram (T, n_bins)
     pitch: bool = False               # append 3-dim pitch features
                                       # (models/pitch.py, edge-aligned)
     cmvn_sliding: int = 0             # sliding-window CMVN (frames; 0=off,
@@ -299,6 +300,9 @@ def _base_feature_fn(opts):
     if opts.plp:
         from .models import plp as plp_model
         return plp_model.plp_batch
+    if opts.spectrogram:
+        from .models import spectrogram as spec_model
+        return spec_model.log_spectrogram_batch
     return mfcc_model.mfcc_batch
 
 
@@ -309,6 +313,9 @@ def _base_jit(opts):
     if opts.plp:
         from .models import plp as plp_model
         return plp_model.plp_batch_jit
+    if opts.spectrogram:
+        from .models import spectrogram as spec_model
+        return spec_model.log_spectrogram_batch_jit
     return mfcc_model.mfcc_batch_jit
 
 
@@ -480,7 +487,8 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
                   opts.resume)}[opts.out_format]()
 
     stats_path = os.path.join(opts.out_dir, "cmvn.npz")
-    n_feats = (cfg.n_feats if not opts.logmel
+    n_feats = (cfg.n_bins if opts.spectrogram
+               else cfg.n_feats if not opts.logmel
                else cfg.n_mels * (3 if cfg.deltas else 1))
     if opts.pitch:
         n_feats += 3
@@ -510,7 +518,9 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
                 x = resample_op.resample_poly_numpy(
                     x, _sr, cfg.sample_rate).astype(np.float32)
             ref_fn = (oracle.log_mel if opts.logmel
-                      else oracle.plp if opts.plp else oracle.mfcc)
+                      else oracle.plp if opts.plp
+                      else oracle.log_spectrogram if opts.spectrogram
+                      else oracle.mfcc)
             want = ref_fn(x[: lengths[i]].astype(np.float64), cfg)
             if opts.pitch:
                 pw = oracle.pitch(x[: lengths[i]].astype(np.float64),
@@ -535,8 +545,16 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
             got = feat_np[i, : flens_np[i]]
             if cfg.cmvn:
                 return  # features are pre-normalization here; skip
-            rep.max_abs_error = float(
-                np.abs(got[: want.shape[0]] - want).max())
+            diff = np.abs(got[: want.shape[0]] - want)
+            if opts.spectrogram:
+                # raw single-bin valleys are f32-floor-limited (accuracy
+                # policy, docs/conventions.md) — the report carries the
+                # contract quantity: the error inside the 50 dB window
+                keep = want > (want.max(axis=1, keepdims=True)
+                               - np.log(10.0 ** 5))
+                rep.max_abs_error = float(diff[keep].max())
+            else:
+                rep.max_abs_error = float(diff.max())
             return
 
     def _write_out(pb, lengths, feat, flens):

@@ -213,6 +213,29 @@ def test_spectrogram_pallas_backend(speechlike):
     assert np.abs(got[keep] - xla[keep]).max() < 2e-4
 
 
+def test_cli_spectrogram_flag(tmp_path, rng):
+    """--spectrogram end-to-end: (T, 257) outputs, self-check vs the
+    oracle twin in the run report, mutual exclusion with --logmel."""
+    from mfcc_tpu import cli
+    from mfcc_tpu.utils import wav
+    x = (0.3 * rng.standard_normal(8000)).astype(np.float32)
+    wav.write_wav(tmp_path / "u.wav", x, 16000)
+    rc = cli.main([str(tmp_path), "-o", str(tmp_path / "o"),
+                   "--spectrogram"])
+    assert rc == 0
+    feat = np.load(tmp_path / "o" / "u.npy")
+    assert feat.shape[1] == CFG.n_bins
+    # oracle on the DECODED audio (the WAV roundtrip quantizes to int16,
+    # which shifts spectral valleys by far more than the f32 contract)
+    xd, _sr = wav.read_wav(tmp_path / "u.wav")
+    want = oracle.log_spectrogram(xd.astype(np.float64), CFG)
+    keep = want > (want.max(axis=1, keepdims=True) - np.log(10 ** 5))
+    assert np.abs(feat[: want.shape[0]][keep] - want[keep]).max() < 2e-4
+    with pytest.raises(SystemExit):
+        cli.main([str(tmp_path), "-o", str(tmp_path / "o2"),
+                  "--spectrogram", "--logmel"])
+
+
 def test_spectrogram_pallas_batch_masks(rng):
     """Kernel-route windowed contract is 2e-4 (the DIT combine's one
     extra f32 rounding stage vs the direct XLA factorization — the same
