@@ -129,6 +129,10 @@ def main():
             if mode == "longform-blocked":
                 return (lambda s: pitch_op.viterbi_blocked(
                     s, pcfg, block=args.block, warm=args.warm)), sl
+            if mode == "longform-blocked-pallas":
+                return (lambda s: pitch_op.viterbi_blocked(
+                    s, pcfg, block=args.block, warm=args.warm,
+                    backend="pallas")), sl
             raise ValueError(mode)
         if mode == "resample":
             return (lambda x: resample(x, pcfg.sample_rate,

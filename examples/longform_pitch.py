@@ -7,8 +7,11 @@ size 64 its steps amortize across utterances, but a SINGLE long stream
 (audiobook, meeting, broadcast) has no batch dimension to hide behind.
 `viterbi_block=` opts into the blocked warm-up Viterbi: time chunks are
 solved in parallel with zero-emission-padded context, cutting the
-sequential chain from T to block + 2*warm steps — measured 4.0x on v5e
-at B=1 x 6 min (bench/ab_viterbi.json: 14,334 vs 3,567 audio-sec/s).
+sequential chain from T to block + 2*warm steps.  Since r4 the chunk
+axis additionally fills the Pallas Viterbi kernel's 128 batch lanes
+(`auto` backend on TPU routes there) — measured on v5e at B=1 x 6 min
+(bench/ab_viterbi.json): exact scan 3,568 -> blocked XLA 14,300 ->
+blocked kernel **180,836 audio-sec/s** (50x the exact scan).
 
 Contract (docs/conventions.md): the blocked path may deviate from the
 exact one ONLY on zero-voicing-evidence silence frames; every frame

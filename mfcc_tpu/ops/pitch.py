@@ -210,10 +210,14 @@ def _viterbi_dispatch(nccf_b: jnp.ndarray, pcfg: PitchConfig, *,
                       backend: str) -> jnp.ndarray:
     """viterbi()/viterbi_blocked() or the Pallas forward+backtrace
     kernels (bit-identical paths, kernels/fused_viterbi)."""
-    if viterbi_block is not None:
-        return viterbi_blocked(nccf_b, pcfg, block=viterbi_block,
-                               warm=viterbi_warm)
     from .kernels import fused_viterbi
+    if viterbi_block is not None:
+        vb_backend = ("pallas"
+                      if (resolve_backend(backend, pcfg) == "pallas"
+                          and fused_viterbi.viterbi_kernel_eligible(pcfg))
+                      else "xla")
+        return viterbi_blocked(nccf_b, pcfg, block=viterbi_block,
+                               warm=viterbi_warm, backend=vb_backend)
     if (resolve_backend(backend, pcfg) == "pallas"
             and fused_viterbi.viterbi_kernel_eligible(pcfg)):
         from .. import backend as backend_lib
@@ -237,7 +241,7 @@ def viterbi(nccf_b: jnp.ndarray, pcfg: PitchConfig, *,
 
 def viterbi_blocked(nccf_b: jnp.ndarray, pcfg: PitchConfig, *,
                     block: int = 256, warm: int = 128,
-                    unroll: int = 8) -> jnp.ndarray:
+                    unroll: int = 8, backend: str = "xla") -> jnp.ndarray:
     """Blocked Viterbi: (B, T, n_lags) -> (B, T) lag indices with the T-step
     sequential chain cut to ``block + 2*warm`` steps (VERDICT r2 #9).
 
@@ -289,8 +293,20 @@ def viterbi_blocked(nccf_b: jnp.ndarray, pcfg: PitchConfig, *,
     Lw = block + 2 * warm
     idx = (np.arange(C) * block)[:, None] + np.arange(Lw)[None, :]
     W = S[:, idx]                                      # (B, C, Lw, n)
-    paths = jax.vmap(jax.vmap(
-        lambda sc: _viterbi_one(sc, pcfg, unroll=unroll)))(W)
+    # backend="pallas" (r4): the chunk axis joins the batch axis and the
+    # B*C problems run through the Viterbi kernels — the chunks fill the
+    # kernel's 128 batch lanes that a B=1 long-form stream leaves empty.
+    # Bit-identical per chunk (fused_viterbi contract), so the blocked
+    # strategy's deviation model is unchanged.
+    if backend == "pallas":
+        from .kernels import fused_viterbi
+        from .. import backend as backend_lib
+        paths = fused_viterbi.viterbi_pallas(
+            W.reshape(B * C, Lw, n), pcfg,
+            interpret=backend_lib.pallas_interpret()).reshape(B, C, Lw)
+    else:
+        paths = jax.vmap(jax.vmap(
+            lambda sc: _viterbi_one(sc, pcfg, unroll=unroll)))(W)
     interior = paths[:, :, warm: warm + block]         # (B, C, block)
     return interior.reshape(B, Tpad)[:, :T]
 

@@ -144,6 +144,19 @@ def test_fused_viterbi_short_and_single_step(rng):
         assert (got == want).all(), T
 
 
+def test_viterbi_blocked_pallas_bit_identical(rng):
+    """viterbi_blocked(backend='pallas') folds the chunk axis into the
+    kernel's batch lanes; each chunk's solution is bit-identical to the
+    XLA blocked path."""
+    scores = jnp.asarray(
+        0.5 * rng.standard_normal((1, 900, PCFG.n_lags)).astype(np.float32))
+    want = np.asarray(pitch_op.viterbi_blocked(scores, PCFG, block=256,
+                                               warm=128))
+    got = np.asarray(pitch_op.viterbi_blocked(scores, PCFG, block=256,
+                                              warm=128, backend="pallas"))
+    assert (got == want).all()
+
+
 def test_pitch_pallas_backend_matches_oracle(rng):
     """backend='pallas' end-to-end pitch features (kernel NCCF +
     everything downstream) vs the float64 oracle, same contract as the
