@@ -133,6 +133,23 @@ def main():
                 return (lambda s: pitch_op.viterbi_blocked(
                     s, pcfg, block=args.block, warm=args.warm,
                     backend="pallas")), sl
+            if mode == "longform-full":
+                # END-TO-END single stream: resample + NCCF kernel +
+                # blocked Viterbi (chunks -> kernel lanes) + post
+                nls = int(args.long_seconds * sr)
+                rngf = np.random.default_rng(2)
+                tl = np.arange(nls) / sr
+                xl = (0.4 * np.sin(2 * np.pi * 180 * tl)
+                      + 0.02 * rngf.standard_normal(nls)).astype(np.float32)
+                xl_d = jax.device_put(jnp.asarray(xl)[None, :], dev)
+                ll_d = jnp.asarray([nls], jnp.int32)
+
+                def fn(x):
+                    f, _, _ = pitch_op.pitch_features(
+                        x, ll_d, pcfg, viterbi_block=args.block,
+                        viterbi_warm=args.warm)
+                    return f
+                return fn, xl_d
             raise ValueError(mode)
         if mode == "resample":
             return (lambda x: resample(x, pcfg.sample_rate,

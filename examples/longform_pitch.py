@@ -10,8 +10,9 @@ solved in parallel with zero-emission-padded context, cutting the
 sequential chain from T to block + 2*warm steps.  Since r4 the chunk
 axis additionally fills the Pallas Viterbi kernel's 128 batch lanes
 (`auto` backend on TPU routes there) — measured on v5e at B=1 x 6 min
-(bench/ab_viterbi.json): exact scan 3,568 -> blocked XLA 14,300 ->
-blocked kernel **180,836 audio-sec/s** (50x the exact scan).
+(bench/ab_viterbi.json): exact scan 3,568 -> blocked XLA 14,332 ->
+blocked kernel **176,285 audio-sec/s** (49x the exact scan); the
+whole pipeline end-to-end (longform-full row) runs at 90,790.
 
 Contract (docs/conventions.md): the blocked path may deviate from the
 exact one ONLY on zero-voicing-evidence silence frames; every frame
