@@ -83,16 +83,20 @@ def main():
 
     feats_out = [[] for _ in range(B)]
     pitch_out = [[] for _ in range(B)]
-    for k in range(0, n_steps - n_steps % K, K):
-        if K == 1:
+    # fused steps advance K chunks at a time; the trailing n_steps % K
+    # chunks fall back to single-chunk steps so no audio is dropped
+    schedule = ([(k, K) for k in range(0, n_steps - n_steps % K, K)]
+                + [(k, 1) for k in range(n_steps - n_steps % K, n_steps)])
+    for k, kk in schedule:
+        if kk == 1:
             chunks = np.stack([s[k * C:(k + 1) * C] for s in sigs])
             st, feats, nv = streaming.process_chunk_batch_jit(
                 st, jnp.asarray(chunks), cfg)      # ONE dispatch, B sessions
             flat = chunks
         else:
-            flat = np.stack([s[k * C:(k + K) * C] for s in sigs])
+            flat = np.stack([s[k * C:(k + kk) * C] for s in sigs])
             st, feats, nv = streaming.process_chunks_batch_fused_jit(
-                st, jnp.asarray(flat.reshape(B, K, C)), cfg)
+                st, jnp.asarray(flat.reshape(B, kk, C)), cfg)
         cst, normed = online_cmvn_batch_step(cst, feats, nv, window)
         nv_np = np.asarray(nv)
         normed_np = np.asarray(normed)
@@ -102,7 +106,7 @@ def main():
         done = sum(len(f[-1]) for f in feats_out)
         lag = [sum(len(r) for r in feats_out[b])
                - sum(len(r) for r in pitch_out[b]) for b in range(B)]
-        print(f"t={100 * (k + K):6d} ms  +{done} cepstral rows this step; "
+        print(f"t={100 * (k + kk):6d} ms  +{done} cepstral rows this step; "
               f"pitch trails by {lag} frames (delayed Viterbi)")
     for b in range(B):
         pitch_out[b].append(trackers[b].flush())

@@ -42,14 +42,9 @@ def _plp_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
     use_kernel = (backend_lib.resolve(backend, cfg) == "pallas"
                   and kernels.fused_raw_dit.raw_dit_kernel_eligible(cfg))
     if use_kernel:
-        squeeze = x.ndim == 1
-        xb = x[None, :] if squeeze else x
         with jax.named_scope("fused_raw_dit_bark_kernel"):
-            log_bark = kernels.fused_raw_dit.fused_features_raw_dit(
-                xb, cfg, apply_dct=False, merged=True, projection="bark",
-                interpret=backend_lib.pallas_interpret())
-        if squeeze:
-            log_bark = log_bark[0]
+            log_bark = kernels.fused_raw_dit_route(
+                x, cfg, apply_dct=False, projection="bark")
         with jax.named_scope("plp_tail"):
             feat = plp_op.plp_from_log_bark(log_bark, cfg)
         if cfg.append_energy:

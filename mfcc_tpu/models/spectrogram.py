@@ -33,14 +33,10 @@ def log_spectrogram(x: jnp.ndarray, cfg: FeatureConfig,
     """(n_samples,) -> (T, n_bins) floored log power spectrum."""
     from ..ops import kernels
     if (backend_lib.resolve(backend, cfg) == "pallas"
-            and kernels.fused_raw_dit.raw_dit_kernel_eligible(cfg)):
-        squeeze = x.ndim == 1
-        xb = x[None, :] if squeeze else x
+            and kernels.fused_raw_dit.spec_kernel_eligible(cfg)):
         with jax.named_scope("fused_raw_dit_spec_kernel"):
-            feat = kernels.fused_raw_dit.fused_features_raw_dit(
-                xb, cfg, apply_dct=False, merged=True, projection="spec",
-                interpret=backend_lib.pallas_interpret())
-        return feat[0] if squeeze else feat
+            return kernels.fused_raw_dit_route(
+                x, cfg, apply_dct=False, projection="spec")
     y = framing.preemphasize(x, cfg)
     p_lo, p_hi = spectrum.power_spectrum_split(y, cfg)
     power = jnp.concatenate([p_lo, p_hi], axis=-1)

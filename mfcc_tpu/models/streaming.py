@@ -226,7 +226,6 @@ def process_chunks_batch_fused(state: StreamState, chunks: jnp.ndarray,
     invariant, traded for the measured kernel throughput
     (bench/ab_streaming.json).
     """
-    from .. import backend as backend_lib
     from ..ops import kernels
     if variant not in ("mfcc", "logmel", "plp"):
         raise ValueError(f"unknown streaming variant {variant!r}")
@@ -264,20 +263,17 @@ def process_chunks_batch_fused(state: StreamState, chunks: jnp.ndarray,
         zx, off0)
 
     kcfg = cfg.replace(preemph=0.0)
-    interp = backend_lib.pallas_interpret()
     if variant == "plp":
         from ..ops import plp as plp_ops
-        log_bark = kernels.fused_raw_dit.fused_features_raw_dit(
-            y, kcfg, apply_dct=False, merged=True, projection="bark",
-            interpret=interp)
+        log_bark = kernels.fused_raw_dit_route(
+            y, kcfg, apply_dct=False, projection="bark")
         feat = plp_ops.plp_from_log_bark(log_bark, cfg)
         if cfg.append_energy:
             feat = feat.at[..., 0].set(
                 spectrum.log_energy_blocked(y, kcfg))
     else:
-        feat = kernels.fused_raw_dit.fused_features_raw_dit(
-            y, kcfg, apply_dct=(variant == "mfcc"), merged=True,
-            interpret=interp)
+        feat = kernels.fused_raw_dit_route(
+            y, kcfg, apply_dct=(variant == "mfcc"))
 
     new_seen = state.samples_seen + K * C
     total = _num_frames_dyn(new_seen, cfg)

@@ -48,6 +48,21 @@ from . import fused_raw_dit  # noqa: F401
 from . import fused_nccf     # noqa: F401
 
 
+def fused_raw_dit_route(x, cfg, *, apply_dct, projection="mel"):
+    """Shared raw-DIT kernel invocation for the model-layer consumers
+    (MFCC/log-mel via models/mfcc, PLP bark, spectrogram spec): 1D/2D
+    squeeze handling + the merged plan + interpret wiring live in ONE
+    place (r4 review: three hand-rolled copies had started to drift).
+    Callers decide eligibility/resolution; this only invokes."""
+    from ... import backend as backend_lib
+    squeeze = x.ndim == 1
+    xb = x[None, :] if squeeze else x
+    feat = fused_raw_dit.fused_features_raw_dit(
+        xb, cfg, apply_dct=apply_dct, merged=True, projection=projection,
+        interpret=backend_lib.pallas_interpret())
+    return feat[0] if squeeze else feat
+
+
 def fused_features_auto(y, cfg, *, apply_dct=True, interpret=False):
     """Backend "pallas" entry: DIT kernel when eligible, else direct."""
     if fused_dit.dit_kernel_eligible(cfg):

@@ -240,7 +240,9 @@ def fused_features(y: jnp.ndarray, cfg: FeatureConfig, *,
 
     plan = _Plan(q=q, r=r, hop=hop, hop_pad=hop_pad, tile_t=tile_t,
                  bins_pad=bins_pad, mels_pad=mels_pad, out_pad=out_pad,
-                 apply_dct=apply_dct, append_energy=cfg.append_energy,
+                 apply_dct=apply_dct,
+                 # gate on apply_dct: c0 substitution is cepstral-only
+                 append_energy=cfg.append_energy and apply_dct,
                  log_floor=cfg.log_floor,
                  rel_floor=(0.0 if cfg.dynamic_range_db is None
                             else 10.0 ** (-cfg.dynamic_range_db / 10.0)),

@@ -116,7 +116,10 @@ def _plan(cfg: FeatureConfig, tile_t: int | None, apply_dct: bool,
         P=P, rpp=rpp, nper=nper, tail=tail, rows_span=rows_span,
         tile_t=tile_t, fpp=fpp, bins_lo=cfg.n_bins - 1, mels_pad=mels_pad,
         out_pad=out_pad, apply_dct=apply_dct,
-        append_energy=cfg.append_energy, preemph=cfg.preemph,
+        # energy substitution is a CEPSTRAL-output feature (c0 slot): the
+        # XLA reference gates on apply_dct, so log-mel outputs must not
+        # overwrite mel band 0 (r4 review finding)
+        append_energy=cfg.append_energy and apply_dct, preemph=cfg.preemph,
         log_floor=cfg.log_floor,
         rel_floor=(0.0 if cfg.dynamic_range_db is None
                    else 10.0 ** (-cfg.dynamic_range_db / 10.0)),

@@ -120,6 +120,17 @@ def raw_dit_kernel_eligible(cfg: FeatureConfig) -> bool:
     return tail <= rpp * LANE
 
 
+def spec_kernel_eligible(cfg: FeatureConfig) -> bool:
+    """The spec projection additionally needs H = n_fft/2 lane-aligned:
+    _spec_pack concatenates the Nyquist block at lane offset H, and
+    Mosaic refuses lane-dim concats at unaligned offsets (the repo's
+    documented layout rule).  n_fft 512/1024/... qualify; n_fft 400
+    (H = 200) must stay on the XLA path (r4 review finding — interpret
+    mode can't catch this class)."""
+    return (raw_dit_kernel_eligible(cfg)
+            and (cfg.n_fft // 2) % LANE == 0)
+
+
 def _plan(cfg: FeatureConfig, tile_t: int, apply_dct: bool,
           merged: bool = False, pm_out: bool = False, half: bool = False,
           projection: str = "mel"):
@@ -137,6 +148,8 @@ def _plan(cfg: FeatureConfig, tile_t: int, apply_dct: bool,
     if projection == "spec":
         # packed |X|^2 lanes [0, H) + one aligned LANE block whose col 0
         # carries the full-DFT Nyquist bin -> H + LANE output lanes
+        assert (cfg.n_fft // 2) % LANE == 0, \
+            "spec projection needs lane-aligned H (spec_kernel_eligible)"
         mels_pad = LANE                       # dummy operands, unused
         out_pad = cfg.n_fft // 2 + LANE
     else:
@@ -161,7 +174,8 @@ def _plan(cfg: FeatureConfig, tile_t: int, apply_dct: bool,
         # the PLP model layer applies energy/deltas itself after the LPC
         # chain, and its XLA twin applies no relative floor — keep the
         # bark route's numerics identical to ops/plp.bark_loudness_split
-        append_energy=cfg.append_energy and projection == "mel",
+        append_energy=cfg.append_energy and projection == "mel"
+        and apply_dct,
         preemph=cfg.preemph, log_floor=cfg.log_floor,
         rel_floor=(0.0 if (cfg.dynamic_range_db is None
                            or projection != "mel")

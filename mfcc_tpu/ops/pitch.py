@@ -193,9 +193,14 @@ def mean_frame_energy(xw: jnp.ndarray, pcfg: PitchConfig,
 
 def _nccf_dispatch(xw: jnp.ndarray, pcfg: PitchConfig, mask: jnp.ndarray,
                    *, precision, backend: str):
-    """nccf() or the fused Pallas kernel, per the resolved backend."""
-    if resolve_backend(backend, pcfg) == "pallas":
-        from .kernels import fused_nccf
+    """nccf() or the fused Pallas kernel, per the resolved backend.
+    An explicit backend="pallas" on a kernel-ineligible config falls back
+    to the XLA path, matching every other model's dispatch (r4 review:
+    raising here made --backend pallas a crash on configs the kernels
+    can't take, where the MFCC/PLP/spectrogram routes silently degrade)."""
+    from .kernels import fused_nccf
+    if (resolve_backend(backend, pcfg) == "pallas"
+            and fused_nccf.nccf_kernel_eligible(pcfg)):
         from .. import backend as backend_lib
         mean_e = mean_frame_energy(xw, pcfg, mask)
         ball = pcfg.ballast * mean_e * mean_e
@@ -284,6 +289,15 @@ def viterbi_blocked(nccf_b: jnp.ndarray, pcfg: PitchConfig, *,
     """
     B, T, n = nccf_b.shape
     if T <= block + 2 * warm:
+        # short input: the exact (unblocked) solution — through the
+        # kernel when requested/eligible (r4 review: this early return
+        # used to drop back to the plain scan even under backend=pallas)
+        from .kernels import fused_viterbi
+        if (backend == "pallas"
+                and fused_viterbi.viterbi_kernel_eligible(pcfg)):
+            from .. import backend as backend_lib
+            return fused_viterbi.viterbi_pallas(
+                nccf_b, pcfg, interpret=backend_lib.pallas_interpret())
         return viterbi(nccf_b, pcfg, unroll=unroll)
     C = -(-T // block)
     Tpad = C * block

@@ -391,6 +391,35 @@ def test_raw_dit_kernel_merged_matches_split(rng, variant, half):
     np.testing.assert_allclose(merged[0] / lift, want / lift, atol=ATOL)
 
 
+def test_logmel_append_energy_not_substituted_by_kernels(rng):
+    """r4 review finding: every kernel substituted log frame energy into
+    band 0 even for LOG-MEL outputs, where the XLA reference gates the
+    substitution on cepstral output (c0 slot).  All kernel log-mel routes
+    must now match the XLA path with append_energy=True."""
+    from mfcc_tpu.models import logmel as logmel_model
+    cfg = FeatureConfig(n_mels=40, n_mfcc=40, append_energy=True,
+                        dynamic_range_db=50.0).validate()  # -> raw-DIT v5
+    cfg_u = cfg.replace(dynamic_range_db=None)             # -> v3 raw
+    x = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+    for c in (cfg, cfg_u):
+        pal = np.asarray(logmel_model.log_mel_jit(jnp.asarray(x), c,
+                                                  "pallas"))
+        xla = np.asarray(logmel_model.log_mel_jit(jnp.asarray(x), c,
+                                                  "xla"))
+        np.testing.assert_allclose(pal[:, 0], xla[:, 0], atol=2e-4)
+
+
+def test_spec_kernel_eligibility_requires_aligned_H():
+    """r4 review finding: _spec_pack's Nyquist concat needs H = n_fft/2
+    lane-aligned; n_fft=400 (H=200) is raw-DIT eligible but must NOT
+    take the spec route (Mosaic rejects the unaligned lane concat on
+    hardware — interpret mode cannot catch it)."""
+    cfg400 = FeatureConfig(n_fft=400).validate()
+    assert fused_raw_dit.raw_dit_kernel_eligible(cfg400)
+    assert not fused_raw_dit.spec_kernel_eligible(cfg400)
+    assert fused_raw_dit.spec_kernel_eligible(FeatureConfig().validate())
+
+
 def test_raw_dit_kernel_pm_out_ineligible_config_gates_off(rng):
     """The second r3 advisor repro: a config whose frame does not fit one
     period row (frame_len 300 > row_lanes 128 at hop 128) must silently

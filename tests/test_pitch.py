@@ -144,6 +144,34 @@ def test_fused_viterbi_short_and_single_step(rng):
         assert (got == want).all(), T
 
 
+def test_pitch_pallas_ineligible_config_falls_back(rng):
+    """r4 review finding: explicit backend='pallas' on an NCCF-kernel-
+    ineligible config (hop_len_w 60 -> 32 lane phases) must run the XLA
+    path like every other model's dispatch, not raise."""
+    pcfg = PitchConfig(hop_ms=15.0).validate()
+    from mfcc_tpu.ops.kernels import fused_nccf
+    assert not fused_nccf.nccf_kernel_eligible(pcfg)
+    x = _tone_silence(rng)[: SR]
+    feat, flens, _ = pitch_model.pitch_batch_jit(
+        jnp.asarray(x)[None, :], jnp.asarray([x.shape[0]], jnp.int32),
+        pcfg, "pallas")
+    ref, _, _ = pitch_model.pitch_batch_jit(
+        jnp.asarray(x)[None, :], jnp.asarray([x.shape[0]], jnp.int32),
+        pcfg, "xla")
+    np.testing.assert_array_equal(np.asarray(feat), np.asarray(ref))
+
+
+def test_viterbi_blocked_short_input_honors_pallas_backend(rng):
+    """r4 review finding: the short-T early return in viterbi_blocked
+    used to drop back to the plain scan even under backend='pallas'."""
+    scores = jnp.asarray(
+        0.5 * rng.standard_normal((2, 100, PCFG.n_lags)).astype(np.float32))
+    want = np.asarray(pitch_op.viterbi(scores, PCFG))
+    got = np.asarray(pitch_op.viterbi_blocked(scores, PCFG, block=256,
+                                              warm=128, backend="pallas"))
+    assert (got == want).all()
+
+
 def test_viterbi_blocked_pallas_bit_identical(rng):
     """viterbi_blocked(backend='pallas') folds the chunk axis into the
     kernel's batch lanes; each chunk's solution is bit-identical to the
