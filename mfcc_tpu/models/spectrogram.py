@@ -9,10 +9,13 @@ Backend note (r4): the kernel route (``auto`` on TPU) runs the v5
 merged raw-DIT Pallas kernel with ``projection="spec"`` — the packed
 conjugate-symmetry |X|^2 vector is floored-logged in-kernel and the bin
 permutation undone by one static wrapper relayout; no projection GEMM
-exists at all.  ``xla`` keeps the hop-block path.  Accuracy: the kernel
-route's 50 dB-window contract is 2e-4 (the DIT combine adds one f32
-rounding stage — the same effect behind the unbounded-log-mel v3
-carve-out); strict-1e-4 consumers pass backend="xla".
+exists at all.  ``xla`` keeps the hop-block path.  Accuracy: the
+family's 50 dB-window contract is 2e-4 on EITHER backend (raw
+single-bin log is f32-summation-limited: real speech drives the XLA
+path to 1.7e-4 — golden-pinned in tests/test_golden.py — and the
+kernel's DIT combine measures a similar ~1.3e-4 class on noise); below
+the window the valleys are f32-floor-limited on any backend
+(docs/conventions.md accuracy policy).
 """
 
 from __future__ import annotations
