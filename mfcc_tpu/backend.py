@@ -26,9 +26,21 @@ import jax
 BACKENDS = ("auto", "xla", "pallas")
 
 
+def kernel_precision_supported(cfg) -> bool:
+    """Mosaic's in-kernel dot lowering supports DEFAULT and HIGHEST but
+    NOT HIGH (bf16x3) — measured r4: `NotImplementedError: Unsupported
+    dot precision: HIGH` at lowering.  matmul_precision="high" configs
+    therefore run the XLA path, which honors bf16x3 (the r1-measured
+    fast mode)."""
+    return getattr(cfg, "matmul_precision", "highest") != "high"
+
+
 def resolve(name: str = "auto", cfg=None) -> str:
     if name not in BACKENDS:
         raise ValueError(f"backend must be one of {BACKENDS}, got {name!r}")
+    if name == "pallas" and cfg is not None and \
+            not kernel_precision_supported(cfg):
+        return "xla"
     if name == "auto":
         # On-device A/B, v5e medians, scan protocol (bench/ab_backend.json
         # r3): v5 merged raw-DIT 431.7k, v4 raw-DIT 411.0k, v3 raw 371.4k,
@@ -39,7 +51,8 @@ def resolve(name: str = "auto", cfg=None) -> str:
         # valley accuracy, docs/conventions.md); the v1 direct kernel
         # LOSES to XLA, so configs none of them can take (odd hop,
         # n_fft % 4 != 0, lane-phase period > 8) stay on the XLA path.
-        if jax.default_backend() == "tpu" and cfg is not None:
+        if (jax.default_backend() == "tpu" and cfg is not None
+                and kernel_precision_supported(cfg)):
             from .ops.kernels import fused_dit, fused_raw, fused_raw_dit
             if (fused_raw.raw_kernel_eligible(cfg)
                     or fused_raw_dit.raw_dit_kernel_eligible(cfg)

@@ -90,14 +90,19 @@ class FeatureConfig:
     # --- numerics --------------------------------------------------------
     compute_dtype: str = "float32"   # "float32" | "bfloat16" (matmul inputs)
     accum_dtype: str = "float32"     # accumulation dtype (keep float32)
-    # MXU f32-emulation passes.  Measured on v5e (batch 64x10 s MFCC-13):
-    # "highest" (bf16x6): 2.7e-6 max feature error, 246k audio-sec/s
-    # "high"    (bf16x3): 2.8e-4 max feature error, 302k audio-sec/s
+    # MXU f32-emulation passes.  Measured on v5e (batch 64x10 s MFCC-13;
+    # r4 ladder in bench/ab_precision.json, each precision on the
+    # backend that actually runs it):
+    # "highest" (bf16x6): 2.7e-6 err — the contract default
+    #           (v5 kernel 375k / XLA 239k audio-sec/s that session)
+    # "high"    (bf16x3): 2.8e-4 err, 281k — XLA ONLY: Mosaic has no
+    #           in-kernel HIGH dot lowering, so backend resolution
+    #           routes "high" configs to the XLA path (backend.py)
+    # "default" (one bf16 pass): ~5e-2 err, 549k through the v5 kernel
+    #           (1.46x the contract mode) — for NN-training features
+    #           that tolerate bf16-class spectra
     # Only "highest" meets the 1e-4 contract (the x3 scheme's dropped
-    # lo*lo term surfaces through log in spectral valleys), and the
-    # speedup of "high" is a mere 1.2x (pipeline is not purely MXU-bound)
-    # — so "highest" is the default; "high"/"default" are opt-in fast
-    # modes for NN-training features where 1e-3-ish error is fine.
+    # lo*lo term surfaces through log in spectral valleys).
     matmul_precision: str = "highest"
     # Batch-path DFT factorization (ops/spectrum.py):
     #   "direct"  window-folded hop-block GEMM chain, no frame

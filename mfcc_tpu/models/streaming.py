@@ -232,6 +232,11 @@ def process_chunks_batch_fused(state: StreamState, chunks: jnp.ndarray,
     if not kernels.fused_raw_dit.raw_dit_kernel_eligible(cfg):
         raise ValueError("config not eligible for the fused serving path "
                          "(use process_chunks_batch_jit)")
+    from .. import backend as _backend
+    if not _backend.kernel_precision_supported(cfg):
+        raise ValueError("matmul_precision='high' (bf16x3) has no Mosaic "
+                         "in-kernel dot lowering; use 'highest'/'default' "
+                         "or the scan path (process_chunks_batch_jit)")
     fl, hop = cfg.frame_len, cfg.hop_len
     B, K, C = chunks.shape
     if C % hop != 0:

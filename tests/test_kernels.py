@@ -409,6 +409,23 @@ def test_logmel_append_energy_not_substituted_by_kernels(rng):
         np.testing.assert_allclose(pal[:, 0], xla[:, 0], atol=2e-4)
 
 
+def test_high_precision_routes_to_xla(rng):
+    """Mosaic has no in-kernel HIGH (bf16x3) dot lowering (measured r4:
+    NotImplementedError at pallas lowering); matmul_precision='high'
+    must resolve to the XLA path even under backend='pallas'."""
+    from mfcc_tpu import backend as backend_lib
+    cfg = FeatureConfig(matmul_precision="high").validate()
+    assert backend_lib.resolve("pallas", cfg) == "xla"
+    assert backend_lib.resolve("auto", cfg) == "xla"
+    x = (rng.standard_normal((1, 8000)) * 0.3).astype(np.float32)
+    l = jnp.asarray([8000], jnp.int32)
+    a = np.asarray(mfcc_model.mfcc_batch_jit(jnp.asarray(x), l, cfg,
+                                             "pallas")[0])
+    b = np.asarray(mfcc_model.mfcc_batch_jit(jnp.asarray(x), l, cfg,
+                                             "xla")[0])
+    np.testing.assert_array_equal(a, b)
+
+
 def test_spec_kernel_eligibility_requires_aligned_H():
     """r4 review finding: _spec_pack's Nyquist concat needs H = n_fft/2
     lane-aligned; n_fft=400 (H=200) is raw-DIT eligible but must NOT
