@@ -85,15 +85,17 @@ class _PlanNccf(NamedTuple):
 
 
 def nccf_kernel_eligible(pcfg: PitchConfig) -> bool:
-    """Shape constraints of the packed layout: <= 16 lane phases at the
-    work rate, DFT bins K <= 128 (the [cos|sin] blocks live at lane
-    offsets 0/128), lag grid <= 128 lanes, and the padded frame within
-    one period row (the roll+select window cannot exceed row_lanes)."""
+    """Shape constraints of the packed layout: <= 32 lane phases at the
+    work rate (the default 4 kHz preset has 16; the Kaldi-exact 2 kHz
+    preset 32 — each phase costs one roll+select in the VMEM assembly),
+    DFT bins K <= 128 (the [cos|sin] blocks live at lane offsets 0/128),
+    lag grid <= 128 lanes, and the padded frame within one period row
+    (the roll+select window cannot exceed row_lanes)."""
     hop = pcfg.hop_len_w
     if hop <= 0 or hop > LANE * 8:
         return False
     P = LANE // math.gcd(hop, LANE)
-    if P > 16:
+    if P > 32:
         return False
     rpp = hop * P // LANE
     n = pcfg.frame_len_w + pcfg.max_lag
