@@ -106,13 +106,15 @@ class _PlanDit(NamedTuple):
 def raw_dit_kernel_eligible(cfg: FeatureConfig) -> bool:
     """Needs n_fft % 4 == 0 (even half-DFT), an even hop (so every frame
     starts on an even sample and the parity split is frame-invariant), a
-    small half-rate lane-phase period (gcd(hop/2, 128) >= 16 -> at most
-    8 phases), and the frame tail within one lookahead period row."""
+    small half-rate lane-phase period (at most 16 phases — 16 kHz 25/10
+    has 8, 8 kHz telephone speech 16; each phase is one roll+select in
+    the merged assembly), and the frame tail within one lookahead period
+    row."""
     if cfg.n_fft % 4 != 0 or cfg.hop_len % 2 != 0 or cfg.frame_len < 2:
         return False
     hop_h = cfg.hop_len // 2
     P = LANE // math.gcd(hop_h, LANE)
-    if P > 8:
+    if P > 16:
         return False
     rpp = hop_h * P // LANE
     Le = (cfg.frame_len + 1) // 2
