@@ -345,6 +345,7 @@ def test_raw_dit_kernel_matches_jnp_path(rng):
     dict(frame_ms=32.0, hop_ms=16.0),     # hop 256: hop/2=128 -> P=1
     dict(vtln_warp=1.1),
     dict(sample_rate=8000, n_fft=256),    # telephone speech: P=16 (r4)
+    dict(sample_rate=48000, n_fft=2048),  # studio rate: P=8, 15-row period
 ])
 def test_raw_dit_kernel_variants_vs_oracle(rng, variant):
     cfg = FeatureConfig(**variant).validate()
