@@ -146,9 +146,9 @@ def test_fused_viterbi_short_and_single_step(rng):
 
 def test_pitch_pallas_ineligible_config_falls_back(rng):
     """r4 review finding: explicit backend='pallas' on an NCCF-kernel-
-    ineligible config (hop_len_w 60 -> 32 lane phases) must run the XLA
-    path like every other model's dispatch, not raise."""
-    pcfg = PitchConfig(hop_ms=15.0).validate()
+    ineligible config (hop_len_w 61 -> 128 lane phases, past the 32-cap)
+    must run the XLA path like every other model's dispatch, not raise."""
+    pcfg = PitchConfig(hop_ms=15.25).validate()
     from mfcc_tpu.ops.kernels import fused_nccf
     assert not fused_nccf.nccf_kernel_eligible(pcfg)
     x = _tone_silence(rng)[: SR]
