@@ -196,6 +196,32 @@ def test_multichunk_multisession_dispatch(speechlike):
                                    atol=1e-5)
 
 
+def test_fused_serving_dither_position_consistent(speechlike):
+    """Dither noise is indexed by ABSOLUTE sample position; the fused
+    path's per-session vmapped start offsets must reproduce the scan
+    path's noise stream across dispatch boundaries."""
+    cfg = CFG.replace(dither=1.0 / 32768.0).validate()
+    B, K, CF = 2, 3, 8
+    C = CF * cfg.hop_len
+    xs = np.stack([speechlike[: 2 * K * C],
+                   np.roll(speechlike, 777)[: 2 * K * C]])
+    st_s = streaming.init_state_batch(B, cfg)
+    st_f = streaming.init_state_batch(B, cfg)
+    for d in range(2):
+        chunks = jnp.asarray(
+            xs[:, d * K * C: (d + 1) * K * C].reshape(B, K, C))
+        st_s, feats_s, nvs = streaming.process_chunks_batch_jit(
+            st_s, chunks, cfg)
+        st_f, feats_f, n_new = streaming.process_chunks_batch_fused_jit(
+            st_f, chunks, cfg)
+        for b in range(B):
+            rows = [np.asarray(feats_s[b, k])[: int(nvs[b, k])]
+                    for k in range(K)]
+            want = np.concatenate(rows)
+            np.testing.assert_allclose(
+                np.asarray(feats_f[b])[: want.shape[0]], want, atol=5e-5)
+
+
 @pytest.mark.parametrize("variant", ["mfcc", "logmel", "plp"])
 def test_fused_serving_matches_scan_path(speechlike, variant):
     """process_chunks_batch_fused (v5 kernel serving path) emits the
