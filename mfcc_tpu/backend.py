@@ -50,7 +50,8 @@ def resolve(name: str = "auto", cfg=None) -> str:
         # and bounded-range log-mel outputs, v3 for unbounded log-mel —
         # valley accuracy, docs/conventions.md); the v1 direct kernel
         # LOSES to XLA, so configs none of them can take (odd hop,
-        # n_fft % 4 != 0, lane-phase period > 8) stay on the XLA path.
+        # n_fft % 4 != 0, half-rate lane-phase period > 16) stay on the
+        # XLA path.
         if (jax.default_backend() == "tpu" and cfg is not None
                 and kernel_precision_supported(cfg)):
             from .ops.kernels import fused_dit, fused_raw, fused_raw_dit

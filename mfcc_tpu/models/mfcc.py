@@ -78,9 +78,8 @@ def _features_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
                                 and cfg.dynamic_range_db <= 50.0)
         if use_dit and kernels.fused_raw_dit.raw_dit_kernel_eligible(cfg):
             with jax.named_scope("fused_raw_dit_kernel"):
-                feat = kernels.fused_raw_dit.fused_features_raw_dit(
-                    xb, cfg, apply_dct=apply_dct, merged=True,
-                    interpret=backend_lib.pallas_interpret())
+                feat = kernels.fused_raw_dit_route(
+                    xb, cfg, apply_dct=apply_dct)
         elif kernels.fused_raw.raw_kernel_eligible(cfg):
             with jax.named_scope("fused_raw_kernel"):
                 feat = kernels.fused_raw.fused_features_raw(

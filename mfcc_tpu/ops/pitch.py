@@ -312,8 +312,8 @@ def viterbi_blocked(nccf_b: jnp.ndarray, pcfg: PitchConfig, *,
     # kernel's 128 batch lanes that a B=1 long-form stream leaves empty.
     # Bit-identical per chunk (fused_viterbi contract), so the blocked
     # strategy's deviation model is unchanged.
-    if backend == "pallas":
-        from .kernels import fused_viterbi
+    from .kernels import fused_viterbi
+    if backend == "pallas" and fused_viterbi.viterbi_kernel_eligible(pcfg):
         from .. import backend as backend_lib
         paths = fused_viterbi.viterbi_pallas(
             W.reshape(B * C, Lw, n), pcfg,

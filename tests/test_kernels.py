@@ -396,14 +396,24 @@ def test_raw_dit_kernel_merged_matches_split(rng, variant, half):
 def test_logmel_append_energy_not_substituted_by_kernels(rng):
     """r4 review finding: every kernel substituted log frame energy into
     band 0 even for LOG-MEL outputs, where the XLA reference gates the
-    substitution on cepstral output (c0 slot).  All kernel log-mel routes
-    must now match the XLA path with append_energy=True."""
+    substitution on cepstral output (c0 slot).  ALL FOUR kernel log-mel
+    routes must match the XLA path with append_energy=True:
+    raw-DIT v5 (50 dB route), v3 raw (unbounded route), fused_dit
+    (hop 132: half-rate P=64 makes both raw kernels ineligible), and
+    fused_mfcc (odd hop 161 additionally breaks DIT parity)."""
     from mfcc_tpu.models import logmel as logmel_model
-    cfg = FeatureConfig(n_mels=40, n_mfcc=40, append_energy=True,
-                        dynamic_range_db=50.0).validate()  # -> raw-DIT v5
-    cfg_u = cfg.replace(dynamic_range_db=None)             # -> v3 raw
+    from mfcc_tpu.ops.kernels import fused_dit, fused_mfcc
+    base = dict(n_mels=40, n_mfcc=40, append_energy=True)
+    cfg_v5 = FeatureConfig(**base, dynamic_range_db=50.0).validate()
+    cfg_v3 = FeatureConfig(**base).validate()
+    cfg_dit = FeatureConfig(**base, hop_ms=8.25).validate()
+    cfg_dir = FeatureConfig(**base, hop_ms=10.0625).validate()
+    assert not fused_raw.raw_kernel_eligible(cfg_dit)
+    assert not fused_raw_dit.raw_dit_kernel_eligible(cfg_dit)
+    assert fused_dit.dit_kernel_eligible(cfg_dit)
+    assert not fused_dit.dit_kernel_eligible(cfg_dir)   # -> fused_mfcc
     x = (rng.standard_normal(16000) * 0.3).astype(np.float32)
-    for c in (cfg, cfg_u):
+    for c in (cfg_v5, cfg_v3, cfg_dit, cfg_dir):
         pal = np.asarray(logmel_model.log_mel_jit(jnp.asarray(x), c,
                                                   "pallas"))
         xla = np.asarray(logmel_model.log_mel_jit(jnp.asarray(x), c,

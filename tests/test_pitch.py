@@ -58,7 +58,7 @@ def test_oracle_parity_tone_silence(rng):
 
 @pytest.mark.parametrize("pcfg", [
     PCFG,
-    PitchConfig(work_rate=2000).validate(),     # hop 20 -> P=32? no: 6.4
+    PitchConfig(work_rate=2000).validate(),     # hop 20 -> P=32 (r4)
     PitchConfig(min_f0=60.0, max_f0=300.0).validate(),
 ])
 def test_fused_nccf_matches_xla(rng, pcfg):
