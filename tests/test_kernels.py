@@ -421,6 +421,34 @@ def test_logmel_append_energy_not_substituted_by_kernels(rng):
         np.testing.assert_allclose(pal[:, 0], xla[:, 0], atol=2e-4)
 
 
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(sample_rate=8000, n_fft=256),            # raw-DIT P=16
+    dict(hop_ms=8.25),                            # -> fused_dit
+    dict(hop_ms=10.0625),                         # odd hop -> fused_mfcc
+    dict(frame_ms=32.0, hop_ms=16.0),             # P=1 plan
+    dict(sample_rate=48000, n_fft=2048),
+    dict(sample_rate=22050, n_fft=1024),
+    dict(n_mels=80, n_mfcc=80, dynamic_range_db=50.0),
+    dict(append_energy=True, lifter=22, deltas=True),
+])
+def test_pallas_route_matches_xla_any_config(rng, kw):
+    """Route fuzz: whatever kernel the pallas backend picks for a config
+    (interpret on CPU), the result must match the XLA reference path —
+    the broad safety net over routing/planning changes (each kernel also
+    has its own oracle-parity tests)."""
+    cfg = FeatureConfig(**kw).validate()
+    n = cfg.sample_rate
+    x = (rng.standard_normal((2, n)) * 0.3).astype(np.float32)
+    l = jnp.asarray([n, n - n // 3], jnp.int32)
+    pal, fp, _ = mfcc_model.mfcc_batch_jit(jnp.asarray(x), l, cfg,
+                                           "pallas")
+    xla, fx, _ = mfcc_model.mfcc_batch_jit(jnp.asarray(x), l, cfg, "xla")
+    np.testing.assert_array_equal(np.asarray(fp), np.asarray(fx))
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(xla),
+                               atol=2e-4)
+
+
 def test_high_precision_routes_to_xla(rng):
     """Mosaic has no in-kernel HIGH (bf16x3) dot lowering (measured r4:
     NotImplementedError at pallas lowering); matmul_precision='high'
