@@ -2,7 +2,12 @@
 v5 merged raw-DIT — the routing evidence for models/mfcc.py's use_dit
 condition."""
 import json, statistics, time
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 if jax.default_backend() == "tpu":
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
