@@ -1,4 +1,4 @@
-"""SpecAugment: frequency/time masking for training-time feature pipelines.
+"""Training-time augmentation: SpecAugment masking + speed perturbation.
 
 The trainable front-end (models/trainable.py) exists to feed NN training;
 production speech training feeds SpecAugment-ed features (Park et al.,
@@ -31,6 +31,33 @@ from typing import Union
 
 import jax
 import jax.numpy as jnp
+
+
+def speed_perturb(x: jnp.ndarray, lengths: jnp.ndarray, factor: float,
+                  sample_rate: int = 16_000, *,
+                  precision=jax.lax.Precision.HIGHEST):
+    """Kaldi-style speed perturbation (the classic 0.9/1.0/1.1 training
+    augmentation): time-scale the waveform by ``factor`` via the
+    polyphase resampler (ops/resample — playing at sample_rate while
+    resampled BY 1/factor is a time stretch; the Kaiser anti-alias
+    filter handles the 1.1x bandwidth reduction).
+
+    x: (..., N) padded audio; lengths: (...,) true sample counts.
+    Returns (x' (..., N'), lengths'): N' = resampled_length(N, .) —
+    static, so each factor is one compiled program (the standard 3-way
+    perturb costs 3 programs per bucket, same discipline as the bucket
+    ladder).  A training-time op like SpecAugment: no oracle twin; the
+    resampler itself is float64-twinned (tests/test_resample.py).
+    """
+    from .resample import resample, resampled_length, reduce_ratio
+    if factor == 1.0:
+        return x, lengths
+    # emit at rate sr/factor, play at sr: duration scales by 1/factor
+    sr_out = int(round(sample_rate / factor))
+    y = resample(x, sample_rate, sr_out, precision=precision)
+    L, M = reduce_ratio(sample_rate, sr_out)
+    new_len = (lengths.astype(jnp.int32) * L + (M - 1)) // M
+    return y, jnp.minimum(new_len, y.shape[-1]).astype(jnp.int32)
 
 
 def _uniform_int(key, maxval):

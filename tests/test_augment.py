@@ -83,3 +83,40 @@ def test_gradients_flow_through_unmasked(rng):
     g = np.asarray(jax.grad(loss)(f))
     out = np.asarray(spec_augment(f, jax.random.PRNGKey(2)))
     np.testing.assert_allclose(g, 2.0 * out, atol=1e-5)
+
+
+def test_speed_perturb_duration_and_pitch(rng):
+    """0.9/1.1 speed perturbation: output duration scales by 1/factor
+    and a pure tone's measured frequency scales by factor (checked via
+    zero crossings); factor 1.0 is the identity."""
+    import numpy as np
+    from mfcc_tpu.ops.augment import speed_perturb
+    sr = 16000
+    n = sr
+    t = np.arange(n) / sr
+    x = np.sin(2 * np.pi * 220.0 * t).astype(np.float32)[None, :]
+    lens = jnp.asarray([n], jnp.int32)
+    y0, l0 = speed_perturb(jnp.asarray(x), lens, 1.0, sr)
+    assert y0 is not None and int(l0[0]) == n
+    np.testing.assert_array_equal(np.asarray(y0), x)
+    for factor in (0.9, 1.1):
+        y, l = speed_perturb(jnp.asarray(x), lens, factor, sr)
+        got_n = int(l[0])
+        assert abs(got_n - n / factor) <= 0.01 * n / factor
+        yy = np.asarray(y[0])[:got_n]
+        # played back at sr, the tone should read 220 * factor Hz
+        zc = np.sum(np.abs(np.diff(np.signbit(yy[100:-100]))))
+        f_meas = zc * sr / (2.0 * (got_n - 200))
+        assert abs(f_meas - 220.0 * factor) < 6.0, (factor, f_meas)
+
+
+def test_speed_perturb_ragged_lengths(rng):
+    import numpy as np
+    from mfcc_tpu.ops.augment import speed_perturb
+    sr = 16000
+    x = (0.3 * rng.standard_normal((2, sr))).astype(np.float32)
+    x[1, sr // 2:] = 0.0
+    lens = jnp.asarray([sr, sr // 2], jnp.int32)
+    y, l = speed_perturb(jnp.asarray(x), lens, 1.1, sr)
+    assert int(l[0]) > int(l[1])
+    assert abs(int(l[1]) - (sr // 2) / 1.1) <= 200
