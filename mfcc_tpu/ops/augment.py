@@ -49,7 +49,7 @@ def speed_perturb(x: jnp.ndarray, lengths: jnp.ndarray, factor: float,
     ladder).  A training-time op like SpecAugment: no oracle twin; the
     resampler itself is float64-twinned (tests/test_resample.py).
     """
-    from .resample import resample, resampled_length, reduce_ratio
+    from .resample import resample, reduce_ratio
     if factor == 1.0:
         return x, lengths
     # emit at rate sr/factor, play at sr: duration scales by 1/factor
