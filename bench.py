@@ -150,7 +150,24 @@ def main():
         "backend": args.backend, "algo": args.algo,
         "compile_or_cache_load_s": round(compile_s, 2),
         "device": str(dev),
+        # measured attainable ceiling context (bench/roofline.json, r4):
+        # the kernel's same-session fraction of its own GEMM+DMA chain
+        "pct_of_attainable_gemm_dma_ceiling": _roofline_pct(),
     }))
+
+
+def _roofline_pct():
+    """v5's committed %-of-attainable (bench/roofline.json derived
+    field), or None if the artifact is absent."""
+    import os
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench", "roofline.json")
+    try:
+        with open(p) as f:
+            return json.load(f)["derived"][
+                "v5_pct_of_attainable_gemm_dma_ceiling"]
+    except (OSError, KeyError, ValueError):
+        return None
 
 
 if __name__ == "__main__":
