@@ -147,19 +147,36 @@ def main():
         "scan_reps": [round(r, 1) for r in scan_reps],
         "per_dispatch_median": round(statistics.median(disp_reps), 1),
         "per_dispatch_reps": [round(r, 1) for r in disp_reps],
+        "per_dispatch_note": ("dominated by this environment's ~2-3 ms "
+                              "host relay round-trip, hence the wide "
+                              "spread; the scan protocol above is the "
+                              "committed number (docs/performance.md)"),
         "backend": args.backend, "algo": args.algo,
         "compile_or_cache_load_s": round(compile_s, 2),
         "device": str(dev),
         # measured attainable ceiling context (bench/roofline.json, r4):
-        # the kernel's same-session fraction of its own GEMM+DMA chain
-        "pct_of_attainable_gemm_dma_ceiling": _roofline_pct(),
+        # the kernel's same-session fraction of its own GEMM+DMA chain.
+        # Only attached when this run actually resolved to the v5 kernel
+        # (ADVICE r4) — null for xla/ineligible routes.
+        "pct_of_attainable_gemm_dma_ceiling": _roofline_pct(cfg,
+                                                            args.backend),
     }))
 
 
-def _roofline_pct():
+def _roofline_pct(cfg, backend):
     """v5's committed %-of-attainable (bench/roofline.json derived
-    field), or None if the artifact is absent."""
+    field) when the resolved route IS the v5 raw-DIT kernel for this
+    run's config/backend; None otherwise or if the artifact is absent."""
     import os
+    try:
+        from mfcc_tpu import backend as backend_lib
+        from mfcc_tpu.ops import kernels
+        if backend_lib.resolve(backend, cfg) != "pallas":
+            return None
+        if not kernels.fused_raw_dit.raw_dit_kernel_eligible(cfg):
+            return None
+    except Exception:
+        return None
     p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench", "roofline.json")
     try:

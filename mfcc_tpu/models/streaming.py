@@ -232,6 +232,16 @@ def process_chunks_batch_fused(state: StreamState, chunks: jnp.ndarray,
     if not kernels.fused_raw_dit.raw_dit_kernel_eligible(cfg):
         raise ValueError("config not eligible for the fused serving path "
                          "(use process_chunks_batch_jit)")
+    if variant == "logmel" and not (cfg.dynamic_range_db is not None
+                                    and cfg.dynamic_range_db <= 50.0):
+        # same rule as the batch auto policy (models/mfcc.py use_dit):
+        # the raw-DIT kernel's extra f32 rounding stage surfaces in deep
+        # log-mel valleys; the documented ~2e-5 envelope only holds for
+        # cepstra and range-bounded log-mel (ADVICE r4)
+        raise ValueError(
+            "fused serving log-mel requires dynamic_range_db <= 50 (the "
+            "kernel's valley-accuracy envelope); use "
+            "process_chunks_batch_jit for unbounded log-mel")
     from .. import backend as _backend
     if not _backend.kernel_precision_supported(cfg):
         raise ValueError("matmul_precision='high' (bf16x3) has no Mosaic "

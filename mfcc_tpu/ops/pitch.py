@@ -172,20 +172,37 @@ def resolve_backend(name: str, pcfg: PitchConfig) -> str:
 
 def mean_frame_energy(xw: jnp.ndarray, pcfg: PitchConfig,
                       mask: jnp.ndarray) -> jnp.ndarray:
-    """(B,) masked mean of per-frame window energies e0, from ONE cumsum
-    over the work-rate signal (the kernel path's wrapper-side ballast
-    input; the XLA path derives the same quantity inside nccf() from its
-    frame tensor — equal up to f32 summation order)."""
+    """(B,) masked mean of per-frame window energies e0 (the kernel
+    path's wrapper-side ballast input; the XLA path derives the same
+    quantity inside nccf() from its frame tensor — equal up to f32
+    summation order).
+
+    Computed from LOCAL hop-block partial sums: frame t's window covers
+    hop-blocks [t, t+q) fully plus the first r samples of block t+q
+    (q, r = divmod(frame_len_w, hop_len_w)), so e0 is a static sum of q
+    shifted block-sum slices + one head slice.  A single global cumsum
+    difference (the previous formulation) carries f32 cancellation error
+    that grows with signal length (ADVICE r4); block sums keep every
+    accumulation window-sized."""
     w, hop = pcfg.frame_len_w, pcfg.hop_len_w
     T = mask.shape[1]
-    Nw = xw.shape[-1]
-    cs = jnp.cumsum(xw * xw, axis=-1)
-    idx_hi = np.minimum(np.arange(T) * hop + w - 1, max(Nw - 1, 0))
-    hi = cs[:, idx_hi]
-    idx_lo = np.arange(T) * hop - 1
-    lo = jnp.where(jnp.asarray(idx_lo >= 0)[None, :],
-                   cs[:, np.maximum(idx_lo, 0)], 0.0)
-    e0 = hi - lo
+    B, Nw = xw.shape
+    q, r = divmod(w, hop)
+    need = (T + q) * hop   # last sample any frame's window can touch
+    s2 = xw * xw
+    if Nw >= need:
+        s2 = s2[:, :need]
+    else:   # frames past the signal read zeros (they are masked anyway)
+        s2 = jnp.concatenate(
+            [s2, jnp.zeros((B, need - Nw), xw.dtype)], axis=1)
+    s2b = s2.reshape(B, T + q, hop)
+    bs = s2b.sum(axis=-1)                        # (B, T+q) block sums
+    e0 = jnp.zeros((B, T), xw.dtype)
+    for k in range(q):
+        e0 = e0 + bs[:, k: k + T]
+    if r:
+        hr = s2b[:, :, :r].sum(axis=-1)          # (B, T+q) head sums
+        e0 = e0 + hr[:, q: q + T]
     mask_f = mask.astype(e0.dtype)
     n_valid = jnp.maximum(mask_f.sum(axis=1), 1.0)
     return (e0 * mask_f).sum(axis=1) / n_valid

@@ -26,6 +26,9 @@ class RunReport:
     n_devices: int = 0
     n_hosts: int = 0
     max_abs_error: float | None = None
+    # appended pitch columns' own contract quantity (norm <= 3e-4),
+    # reported apart from the feature tolerance above (ADVICE r4)
+    max_abs_error_pitch: float | None = None
     stage_seconds: dict = field(default_factory=dict)
 
     @property

@@ -370,7 +370,10 @@ def test_cli_pitch_append(tmp_path, rng):
     feat = np.load(out / "u.npy")
     assert feat.shape[1] == 16
     rep = json.load(open(out / "run_report.0.json"))
-    assert rep["max_abs_error"] < 3e-4
+    # main columns at the feature tolerance; pitch columns reported
+    # separately at their own contract (ADVICE r4 column separation)
+    assert rep["max_abs_error"] < 1e-4
+    assert rep["max_abs_error_pitch"] < 3e-4
     # pitch columns match the aligned oracle (on the int16-quantized
     # audio the WAV round-trip actually stored)
     xq, _sr = wavio.read_wav(str(tmp_path / "u.wav"))

@@ -228,7 +228,11 @@ def test_fused_serving_matches_scan_path(speechlike, variant):
     SAME frames as the scan path, contiguously — across two dispatches
     (startup shift + carry continuity), within the kernel-vs-XLA
     envelope (~2e-5 cepstral; the documented deviation from streaming
-    bit-equality, see the function docstring)."""
+    bit-equality, see the function docstring).  Log-mel rides the fused
+    path only with a bounded dynamic range (<= 50 dB), matching the
+    batch auto policy (ADVICE r4)."""
+    CFG = (FeatureConfig(dynamic_range_db=50.0).validate()
+           if variant == "logmel" else globals()["CFG"])
     B, K, CF = 2, 3, 8
     C = CF * CFG.hop_len
     xs = np.stack([speechlike[: 2 * K * C],
@@ -257,6 +261,18 @@ def test_fused_serving_matches_scan_path(speechlike, variant):
                                    np.asarray(st_s.carry), atol=0)
         np.testing.assert_array_equal(np.asarray(st_f.frames_done),
                                       np.asarray(st_s.frames_done))
+
+
+def test_fused_serving_rejects_unbounded_logmel(speechlike):
+    """The fused serving path refuses variant='logmel' with unbounded
+    dynamic range: its accuracy envelope is only established for cepstra
+    and range-bounded log-mel (ADVICE r4; batch auto policy twin)."""
+    B, K, CF = 1, 2, 8
+    C = CF * CFG.hop_len
+    chunks = jnp.asarray(speechlike[: B * K * C].reshape(B, K, C))
+    st = streaming.init_state_batch(B, CFG)
+    with pytest.raises(ValueError, match="dynamic_range_db"):
+        streaming.process_chunks_batch_fused(st, chunks, CFG, "logmel")
 
 
 def test_streaming_logmel_matches_batch(rng):
