@@ -111,6 +111,19 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--splice", type=int, default=0, metavar="N",
                    help="splice +-N context frames (Kaldi splice-feats; "
                         "0 = off)")
+    f.add_argument("--vad", action="store_true",
+                   help="append a 0/1 energy-VAD column (Kaldi "
+                        "compute-vad semantics on the frame log "
+                        "energies, threshold 0.0 / mean-scale 0.5 for "
+                        "[-1,1] floats — docs/conventions.md).  Computed "
+                        "from the audio pre-normalization and appended "
+                        "as the LAST column after cmvn/splice; "
+                        "incompatible with --cmvn (the two-pass rewrite "
+                        "would normalize the indicator)")
+    f.add_argument("--vad-context", type=int, default=0, metavar="N",
+                   help="energy-VAD +-N-frame majority vote (voiced iff "
+                        ">= 60%% of the window passes; 0 = per-frame "
+                        "decisions)")
     return p
 
 
@@ -144,13 +157,18 @@ def main(argv=None) -> int:
                          "--cmvn-online are mutually exclusive")
     if a.cmvn_online_prior and not a.cmvn_online:
         raise SystemExit("--cmvn-online-prior requires --cmvn-online")
+    if a.vad and a.cmvn:
+        raise SystemExit("--vad is incompatible with --cmvn (the two-pass "
+                         "apply would normalize the 0/1 indicator column); "
+                         "use --cmvn-sliding/--cmvn-online or a separate "
+                         "VAD pass")
     cfg = config_from_args(a)
     opts = RunnerOptions(
         out_dir=a.out, batch_size=a.batch_size, logmel=a.logmel, plp=a.plp,
         spectrogram=a.spectrogram,
         pitch=a.pitch, cmvn_sliding=a.cmvn_sliding,
         cmvn_online=a.cmvn_online, cmvn_online_prior=a.cmvn_online_prior,
-        splice=a.splice,
+        splice=a.splice, vad=a.vad, vad_context=a.vad_context,
         resume=not a.no_resume, trace_dir=a.trace_dir, backend=a.backend,
         out_format=a.format, resample=a.resample)
     rep = run(a.input, cfg, opts)

@@ -66,11 +66,12 @@ def process_chunk(state: StreamState, chunk: jnp.ndarray,
     j >= n_valid are zeroed.
 
     variant: "mfcc" (default), "logmel" (DCT skipped; n_out = n_mels),
-    or "plp" (bark + LPC cepstra) — every frame-local pipeline streams
-    through the same carry state, each matching its batch model's
-    prefix (tests/test_streaming.py).
+    "plp" (bark + LPC cepstra), or "spec" (floored log power spectrum,
+    n_out = n_bins — no mel, no DCT; models/spectrogram.py twin) —
+    every frame-local pipeline streams through the same carry state,
+    each matching its batch model's prefix (tests/test_streaming.py).
     """
-    if variant not in ("mfcc", "logmel", "plp"):
+    if variant not in ("mfcc", "logmel", "plp", "spec"):
         raise ValueError(f"unknown streaming variant {variant!r}")
     fl, hop = cfg.frame_len, cfg.hop_len
     C = chunk.shape[0]
@@ -115,10 +116,14 @@ def process_chunk(state: StreamState, chunk: jnp.ndarray,
     if variant == "plp":
         from ..ops import plp as plp_ops
         feat = plp_ops.plp_from_power_split(p_lo, p_hi, cfg)
+    elif variant == "spec":
+        from ..ops import xmath
+        power = jnp.concatenate([p_lo, p_hi], axis=-1)
+        feat = xmath.floored_log(power, cfg.log_floor)
     else:
         logmel = mel.log_mel_energies_split(p_lo, p_hi, cfg)
         feat = logmel if variant == "logmel" else dct.cepstra(logmel, cfg)
-    if cfg.append_energy and variant != "logmel":
+    if cfg.append_energy and variant in ("mfcc", "plp"):
         feat = feat.at[..., 0].set(spectrum.log_energy_blocked(y, cfg))
     j = jnp.arange(n_slots, dtype=jnp.int32)
 
@@ -227,9 +232,12 @@ def process_chunks_batch_fused(state: StreamState, chunks: jnp.ndarray,
     (bench/ab_streaming.json).
     """
     from ..ops import kernels
-    if variant not in ("mfcc", "logmel", "plp"):
+    if variant not in ("mfcc", "logmel", "plp", "spec"):
         raise ValueError(f"unknown streaming variant {variant!r}")
-    if not kernels.fused_raw_dit.raw_dit_kernel_eligible(cfg):
+    eligible = (kernels.fused_raw_dit.spec_kernel_eligible(cfg)
+                if variant == "spec"
+                else kernels.fused_raw_dit.raw_dit_kernel_eligible(cfg))
+    if not eligible:
         raise ValueError("config not eligible for the fused serving path "
                          "(use process_chunks_batch_jit)")
     if variant == "logmel" and not (cfg.dynamic_range_db is not None
@@ -286,6 +294,11 @@ def process_chunks_batch_fused(state: StreamState, chunks: jnp.ndarray,
         if cfg.append_energy:
             feat = feat.at[..., 0].set(
                 spectrum.log_energy_blocked(y, kcfg))
+    elif variant == "spec":
+        # spectrogram family contract (2e-4 in a 50 dB window on either
+        # backend, docs/conventions.md) — same route as the batch model
+        feat = kernels.fused_raw_dit_route(
+            y, kcfg, apply_dct=False, projection="spec")
     else:
         feat = kernels.fused_raw_dit_route(
             y, kcfg, apply_dct=(variant == "mfcc"))

@@ -165,6 +165,15 @@ class RunnerOptions:
     cmvn_online_prior: str | None = None  # cmvn.npz global stats blended
                                       # while the causal window is young
     splice: int = 0                   # symmetric context splice (0=off)
+    vad: bool = False                 # append a 0/1 energy-VAD column
+                                      # (ops/post.energy_vad on the frame
+                                      # log energies, computed from the
+                                      # audio PRE-normalization and
+                                      # appended as the LAST column after
+                                      # every other transform — one clean
+                                      # indicator column, never spliced
+                                      # or normalized)
+    vad_context: int = 0              # +-context majority vote (frames)
     min_bucket: int = 16_000          # 1 s
     max_bucket: int = 16_000 * 30     # 30 s
     resume: bool = True
@@ -344,7 +353,7 @@ def _load_online_prior(opts):
 
 def _feature_fn(opts):
     if not (opts.pitch or opts.cmvn_sliding or opts.cmvn_online
-            or opts.splice):
+            or opts.splice or opts.vad):
         # the module-level jits: every run() in a process shares one
         # compile cache (a fresh jax.jit wrapper per call re-traces)
         return _base_jit(opts)
@@ -370,6 +379,24 @@ def _feature_fn(opts):
         if opts.splice:
             from .ops import post
             feat = post.splice(feat, flens, opts.splice, opts.splice)
+        if opts.vad:
+            # energy VAD from the audio (the same pre-emphasized frame
+            # log energy the append_energy path uses), appended LAST so
+            # it stays one clean 0/1 column after cmvn/splice
+            from .ops import framing as framing_ops, post
+            from .ops import spectrum as spectrum_ops
+            x = a
+            if x.dtype == jnp.int16:
+                x = x.astype(jnp.float32) * (1.0 / 32768.0)
+            if cfg.dither > 0.0:
+                from .ops import dither as dither_op
+                x = dither_op.apply_jax(x, cfg)
+            y = framing_ops.preemphasize(x, cfg)
+            le = spectrum_ops.log_energy_blocked(y, cfg)
+            v = post.energy_vad(le[:, : feat.shape[1]], flens,
+                                context=opts.vad_context)
+            feat = jnp.concatenate(
+                [feat, v.astype(feat.dtype)[..., None]], axis=-1)
         return feat, flens, mask
 
     return jax.jit(wrapped, static_argnames=("cfg", "backend"))
@@ -436,6 +463,12 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
     utterances of the corpus (done + resumed), once.
     """
     cfg.validate()
+    if opts.vad and cfg.cmvn:
+        raise ValueError(
+            "vad cannot be combined with global two-pass CMVN: the apply "
+            "pass rewrites every stored column, which would normalize the "
+            "0/1 VAD indicator (use cmvn_sliding/cmvn_online, or run VAD "
+            "in a separate pass)")
     os.makedirs(opts.out_dir, exist_ok=True)
     rep = report.RunReport(
         config_hash=cfg.config_hash(),
@@ -494,6 +527,8 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
         n_feats += 3
     if opts.splice:
         n_feats *= 2 * opts.splice + 1
+    if opts.vad:
+        n_feats += 1   # the trailing 0/1 column (global CMVN forbids it)
     stats = cmvn_lib.Stats(np.float64(0.0), np.zeros(n_feats, np.float64),
                            np.zeros(n_feats, np.float64))
     if man is not None and man.cmvn is not None:
@@ -545,6 +580,13 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
             got = feat_np[i, : flens_np[i]]
             if cfg.cmvn:
                 return  # features are pre-normalization here; skip
+            if opts.vad:
+                # the trailing 0/1 VAD column is a threshold decision:
+                # f32-vs-f64 energy at the threshold can legitimately flip
+                # a frame, so it is excluded from the abs-error report
+                # (parity on margin-clear signals is test-pinned,
+                # tests/test_cli.py / tests/test_post.py)
+                got = got[:, :-1]
             diff = np.abs(got[: want.shape[0]] - want)
             # pitch columns carry their own contract (norm <= 3e-4, not
             # the 1e-4 feature tolerance) — report them separately so

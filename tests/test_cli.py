@@ -143,6 +143,43 @@ def test_cli_dynamic_range_db(tmp_path, rng):
     assert np.abs(want - nofloor).max() > 1.0   # the floor engaged
 
 
+@pytest.mark.slow
+def test_cli_vad_column(tmp_path, rng):
+    """--vad appends a trailing 0/1 column = oracle.energy_vad on the
+    frame log energies (margin-clear tone/silence signal, so the f32
+    threshold decisions cannot flip); silence frames are unvoiced."""
+    d = tmp_path / "corpus"
+    d.mkdir()
+    t = np.arange(32000) / 16000.0
+    x = (0.3 * np.sin(2 * np.pi * 220 * t)
+         + 0.02 * rng.standard_normal(32000)).astype(np.float32)
+    x[16000:] *= 1e-3                      # second half ~silence
+    wav.write_wav(d / "u.wav", x, 16000)
+    sig, _ = wav._parse(open(d / "u.wav", "rb").read(), None)
+    out = tmp_path / "feats"
+    r = _run_cli([str(d), "-o", str(out), "--vad", "--vad-context", "2"],
+                 tmp_path)
+    assert r.returncode == 0, r.stderr
+    cfg = FeatureConfig()
+    feat = np.load(out / "u.npy")
+    assert feat.shape[1] == cfg.n_mfcc + 1
+    want_feat = oracle.mfcc(sig.astype(np.float64), cfg)
+    np.testing.assert_allclose(feat[:, :-1], want_feat, atol=1e-4)
+    frames = oracle.frame_signal(sig.astype(np.float64), cfg)
+    want_vad = oracle.energy_vad(oracle.log_energy(frames, cfg), context=2)
+    np.testing.assert_array_equal(feat[:, -1], want_vad.astype(np.float64))
+    assert feat[:20, -1].all() and not feat[-20:, -1].any()
+    rep = json.loads((out / "run_report.0.json").read_text())
+    assert rep["max_abs_error"] < 1e-4    # vad column excluded from it
+
+
+def test_cli_vad_cmvn_exclusive(tmp_path):
+    r = _run_cli([str(tmp_path), "-o", str(tmp_path / "o"),
+                  "--vad", "--cmvn"], tmp_path)
+    assert r.returncode != 0
+    assert "incompatible" in r.stderr
+
+
 def test_cli_bad_args():
     r = subprocess.run(
         [sys.executable, "-m", "mfcc_tpu", "nonexistent_dir_xyz",

@@ -222,7 +222,7 @@ def test_fused_serving_dither_position_consistent(speechlike):
                 np.asarray(feats_f[b])[: want.shape[0]], want, atol=5e-5)
 
 
-@pytest.mark.parametrize("variant", ["mfcc", "logmel", "plp"])
+@pytest.mark.parametrize("variant", ["mfcc", "logmel", "plp", "spec"])
 def test_fused_serving_matches_scan_path(speechlike, variant):
     """process_chunks_batch_fused (v5 kernel serving path) emits the
     SAME frames as the scan path, contiguously — across two dispatches
@@ -230,7 +230,9 @@ def test_fused_serving_matches_scan_path(speechlike, variant):
     envelope (~2e-5 cepstral; the documented deviation from streaming
     bit-equality, see the function docstring).  Log-mel rides the fused
     path only with a bounded dynamic range (<= 50 dB), matching the
-    batch auto policy (ADVICE r4)."""
+    batch auto policy (ADVICE r4); spectrogram compares under the
+    family's 50 dB window rule (kernel DIT combine valley class,
+    docs/conventions.md)."""
     CFG = (FeatureConfig(dynamic_range_db=50.0).validate()
            if variant == "logmel" else globals()["CFG"])
     B, K, CF = 2, 3, 8
@@ -254,8 +256,16 @@ def test_fused_serving_matches_scan_path(speechlike, variant):
                     else np.zeros((0, feats_f.shape[-1])))
             assert int(n_new[b]) == want.shape[0]
             got = np.asarray(feats_f[b])
-            np.testing.assert_allclose(got[: want.shape[0]], want,
-                                       atol=5e-5)
+            if variant == "spec" and want.shape[0]:
+                keep = want > (want.max(axis=1, keepdims=True)
+                               - np.log(10.0 ** 5))
+                assert np.abs((got[: want.shape[0]] - want)[keep]).max() \
+                    < 2e-4
+                np.testing.assert_allclose(got[: want.shape[0]], want,
+                                           atol=1e-2)
+            else:
+                np.testing.assert_allclose(got[: want.shape[0]], want,
+                                           atol=5e-5)
             assert np.all(got[want.shape[0]:] == 0.0)
         np.testing.assert_allclose(np.asarray(st_f.carry),
                                    np.asarray(st_s.carry), atol=0)
@@ -315,6 +325,32 @@ def test_streaming_plp_matches_batch(rng):
         jnp.asarray(xs)[None], jnp.asarray([xs.size], np.int32), cfg)
     np.testing.assert_allclose(got, np.asarray(want)[0, : got.shape[0]],
                                atol=2e-5)
+
+
+def test_streaming_spec_matches_batch(rng):
+    """variant='spec' streams the floored log power spectrogram matching
+    the batch spectrogram model's prefix (same split-bin bases; raw
+    single-bin valleys compare under the family's 50 dB window rule,
+    docs/conventions.md accuracy policy)."""
+    from mfcc_tpu.models import spectrogram as spec_model
+    cfg = FeatureConfig().validate()
+    x = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+    C = 32 * cfg.hop_len
+    xs = x[: (x.size // C) * C]
+    st = streaming.init_state(cfg)
+    rows = []
+    for i in range(xs.size // C):
+        st, feat, nv = streaming.process_chunk_jit(
+            st, jnp.asarray(xs[i * C: (i + 1) * C]), cfg, "spec")
+        rows.append(np.asarray(feat)[: int(nv)])
+    got = np.concatenate(rows)
+    assert got.shape[1] == cfg.n_bins
+    want = np.asarray(spec_model.log_spectrogram_batch_jit(
+        jnp.asarray(xs)[None], jnp.asarray([xs.size], np.int32), cfg,
+        "xla")[0])[0, : got.shape[0]]
+    keep = want > (want.max(axis=1, keepdims=True) - np.log(10.0 ** 5))
+    assert np.abs((got - want)[keep]).max() < 2e-4
+    np.testing.assert_allclose(got, want, atol=1e-2)  # valleys: f32 floor
 
 
 def test_streaming_bad_variant():
