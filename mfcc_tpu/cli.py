@@ -41,6 +41,14 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--sample-rate", type=int, default=16000)
     f.add_argument("--frame-ms", type=float, default=25.0)
     f.add_argument("--hop-ms", type=float, default=10.0)
+    f.add_argument("--frame-mode", default="valid",
+                   choices=["valid", "center"],
+                   help="framing convention: 'valid' drops the last "
+                        "partial frame (Kaldi snip_edges=true, the "
+                        "default); 'center' emits (n + hop/2)//hop "
+                        "frames with Kaldi snip_edges=false placement "
+                        "and symmetric reflection at the edges "
+                        "(librosa-style centering; docs/conventions.md)")
     f.add_argument("--n-fft", type=int, default=512)
     f.add_argument("--window", default="hamming",
                    choices=["hamming", "hann", "povey", "rect"])
@@ -138,6 +146,7 @@ def config_from_args(a) -> FeatureConfig:
     n_mfcc = n_mels if a.logmel else a.n_mfcc
     return FeatureConfig(
         sample_rate=a.sample_rate, frame_ms=a.frame_ms, hop_ms=a.hop_ms,
+        frame_mode=a.frame_mode,
         n_fft=a.n_fft, window=a.window, preemph=a.preemph,
         n_mels=n_mels, n_mfcc=n_mfcc, fmin=a.fmin, fmax=a.fmax,
         mel_scale=a.mel_scale, lifter=a.lifter,

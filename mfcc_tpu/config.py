@@ -20,6 +20,8 @@ from typing import Optional
 
 # Window types supported by build_window() in ops/framing.py.
 WINDOWS = ("hamming", "hann", "povey", "rect")
+# Framing conventions supported by ops/framing.py (see FeatureConfig).
+FRAME_MODES = ("valid", "center")
 # Mel-scale conventions supported by ops/mel.py.
 MEL_SCALES = ("htk", "slaney")
 # DFT factorizations supported by ops/spectrum.py (batch path).
@@ -38,6 +40,30 @@ class FeatureConfig:
     sample_rate: int = 16_000
     frame_ms: float = 25.0
     hop_ms: float = 10.0
+    # Framing convention (r5, Kaldi/librosa interop):
+    #   "valid"  — the original contract: frame t covers samples
+    #              [t*hop, t*hop + frame_len), last partial frame dropped,
+    #              no padding (Kaldi snip_edges=true).
+    #   "center" — Kaldi snip_edges=false placement: T = (n + hop/2)//hop
+    #              frames, frame t starts at t*hop + hop//2 - frame_len//2,
+    #              out-of-range samples filled by symmetric reflection WITH
+    #              edge duplication (Kaldi ExtractWindow; librosa
+    #              pad_mode="symmetric" class).  Implemented as a reflect
+    #              pad of the raw (post-dither) signal followed by the
+    #              exact "valid" pipeline, so every backend — XLA,
+    #              Pallas kernels, all feature families — inherits it
+    #              unchanged.  Pre-emphasis stays this framework's
+    #              signal-level convention (applied to the padded
+    #              signal), a documented deviation from Kaldi's
+    #              per-window pre-emphasis (docs/conventions.md).
+    #              Signals shorter than ceil(frame_len/2) emit 0 frames
+    #              (Kaldi would reflect-tile them; documented deviation —
+    #              such inputs are the valid-mode quarantine class).
+    #              Streaming supports "valid" only (the right-edge
+    #              reflection needs EOS lookahead).
+    # NOTE: adding this field renamed config_hash for ALL configs at r5
+    # (the hash names the full numerical contract; docs/conventions.md).
+    frame_mode: str = "valid"
     # --- spectral --------------------------------------------------------
     n_fft: int = 512
     window: str = "hamming"
@@ -177,13 +203,32 @@ class FeatureConfig:
         return (self.n_fft % 8 == 0 and self.hop_len % 4 == 0
                 and self.frame_len >= 4)
 
+    @property
+    def center_left_pad(self) -> int:
+        """Center mode: samples reflected before the signal start (frame 0
+        begins at original position -center_left_pad)."""
+        return self.frame_len // 2 - self.hop_len // 2
+
+    @property
+    def center_min_samples(self) -> int:
+        """Center mode: shortest signal that emits frames (= the maximum
+        right overhang, ceil(frame_len/2) — single-bounce reflection)."""
+        return self.frame_len - self.frame_len // 2
+
     def num_frames(self, n_samples: int) -> int:
         """Frames emitted for an ``n_samples``-long signal.
 
-        "Valid" framing: the last partial frame is dropped; no padding.  This
-        keeps every stage static-shape under jit.  A signal shorter than one
-        frame yields zero frames.
+        "valid": the last partial frame is dropped; no padding.  This
+        keeps every stage static-shape under jit.  A signal shorter than
+        one frame yields zero frames.
+        "center": Kaldi snip_edges=false count (n + hop//2) // hop, except
+        signals shorter than ceil(frame_len/2) yield zero frames (see the
+        frame_mode field note).
         """
+        if self.frame_mode == "center":
+            if n_samples < self.center_min_samples:
+                return 0
+            return (n_samples + self.hop_len // 2) // self.hop_len
         if n_samples < self.frame_len:
             return 0
         return 1 + (n_samples - self.frame_len) // self.hop_len
@@ -191,6 +236,14 @@ class FeatureConfig:
     def validate(self) -> "FeatureConfig":
         if self.window not in WINDOWS:
             raise ValueError(f"window must be one of {WINDOWS}, got {self.window!r}")
+        if self.frame_mode not in FRAME_MODES:
+            raise ValueError(f"frame_mode must be one of {FRAME_MODES}, "
+                             f"got {self.frame_mode!r}")
+        if self.frame_mode == "center" and self.hop_len > self.frame_len:
+            raise ValueError("frame_mode='center' requires hop_len <= "
+                             "frame_len (centered windows must overlap or "
+                             "tile; gapped framing has no centered "
+                             "convention)")
         if self.mel_scale not in MEL_SCALES:
             raise ValueError(
                 f"mel_scale must be one of {MEL_SCALES}, got {self.mel_scale!r}")

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import FeatureConfig
+from ..ops import framing
 from .mfcc import (frame_lengths, frame_mask,  # noqa: F401 (re-export)
                    _features_from_audio)
 
@@ -19,6 +20,7 @@ from .mfcc import (frame_lengths, frame_mask,  # noqa: F401 (re-export)
 def log_mel(x: jnp.ndarray, cfg: FeatureConfig,
             backend: str = "auto") -> jnp.ndarray:
     """(n_samples,) -> (T, n_mels[*3]) log-mel features."""
+    x, cfg = framing.resolve_frame_mode_static(x, cfg)
     return _features_from_audio(x, cfg, backend=backend, apply_dct=False)
 
 
@@ -27,6 +29,8 @@ def log_mel_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
     """(B, N_pad), (B,) -> ((B, T, n_mels[*3]), (B,), (B, T))."""
     if x.dtype == jnp.int16:
         x = x.astype(jnp.float32) * (1.0 / 32768.0)
+    x, sample_lengths, cfg = framing.resolve_frame_mode(
+        x, sample_lengths, cfg)
     flens = frame_lengths(sample_lengths, cfg)
     feat = _features_from_audio(x, cfg,
                                 lengths=flens if cfg.deltas else None,

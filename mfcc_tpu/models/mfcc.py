@@ -115,11 +115,17 @@ def _features_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
 def mfcc(x: jnp.ndarray, cfg: FeatureConfig,
          backend: str = "auto") -> jnp.ndarray:
     """(n_samples,) PCM in [-1, 1] -> (T, n_feats) features."""
+    x, cfg = framing.resolve_frame_mode_static(x, cfg)
     return _features_from_audio(x, cfg, backend=backend)
 
 
 def frame_lengths(sample_lengths: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
-    """Per-utterance true frame counts ('valid' framing, zero if too short)."""
+    """Per-utterance true frame counts (cfg.frame_mode convention;
+    zero if too short — traced twin of FeatureConfig.num_frames)."""
+    if cfg.frame_mode == "center":
+        t = (sample_lengths + cfg.hop_len // 2) // cfg.hop_len
+        return jnp.where(sample_lengths >= cfg.center_min_samples,
+                         t, 0).astype(jnp.int32)
     n = (sample_lengths - cfg.frame_len) // cfg.hop_len + 1
     return jnp.maximum(n, 0).astype(jnp.int32)
 
@@ -142,6 +148,8 @@ def mfcc_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
     """
     if x.dtype == jnp.int16:
         x = x.astype(jnp.float32) * (1.0 / 32768.0)
+    x, sample_lengths, cfg = framing.resolve_frame_mode(
+        x, sample_lengths, cfg)
     flens = frame_lengths(sample_lengths, cfg)
     feat = _features_from_audio(x, cfg,
                                 lengths=flens if cfg.deltas else None,

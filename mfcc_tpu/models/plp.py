@@ -71,6 +71,7 @@ def _plp_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
 def plp(x: jnp.ndarray, cfg: FeatureConfig,
         backend: str = "auto") -> jnp.ndarray:
     """(n_samples,) PCM in [-1, 1] -> (T, n_feats) PLP cepstra."""
+    x, cfg = framing.resolve_frame_mode_static(x, cfg)
     return _plp_from_audio(x, cfg, backend=backend)
 
 
@@ -79,6 +80,8 @@ def plp_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
     """(B, N_pad), (B,) -> ((B, T, n_feats), (B,), (B, T))."""
     if x.dtype == jnp.int16:
         x = x.astype(jnp.float32) * (1.0 / 32768.0)
+    x, sample_lengths, cfg = framing.resolve_frame_mode(
+        x, sample_lengths, cfg)
     flens = frame_lengths(sample_lengths, cfg)
     feat = _plp_from_audio(x, cfg, lengths=flens if cfg.deltas else None,
                            backend=backend)

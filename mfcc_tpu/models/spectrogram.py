@@ -35,6 +35,8 @@ def log_spectrogram(x: jnp.ndarray, cfg: FeatureConfig,
                     backend: str = "auto") -> jnp.ndarray:
     """(n_samples,) -> (T, n_bins) floored log power spectrum."""
     from ..ops import kernels
+    if x.ndim == 1:  # batch callers resolve the frame mode themselves
+        x, cfg = framing.resolve_frame_mode_static(x, cfg)
     if (backend_lib.resolve(backend, cfg) == "pallas"
             and kernels.fused_raw_dit.spec_kernel_eligible(cfg)):
         with jax.named_scope("fused_raw_dit_spec_kernel"):
@@ -51,6 +53,8 @@ def log_spectrogram_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
     """(B, N_pad), (B,) -> ((B, T, n_bins), (B,), (B, T))."""
     if x.dtype == jnp.int16:
         x = x.astype(jnp.float32) * (1.0 / 32768.0)
+    x, sample_lengths, cfg = framing.resolve_frame_mode(
+        x, sample_lengths, cfg)
     feat = log_spectrogram(x, cfg, backend)
     flens = frame_lengths(sample_lengths, cfg)
     mask = frame_mask(feat.shape[-2], flens)

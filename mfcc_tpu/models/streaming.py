@@ -73,6 +73,11 @@ def process_chunk(state: StreamState, chunk: jnp.ndarray,
     """
     if variant not in ("mfcc", "logmel", "plp", "spec"):
         raise ValueError(f"unknown streaming variant {variant!r}")
+    if cfg.frame_mode != "valid":
+        raise ValueError(
+            "streaming supports frame_mode='valid' only: the centered "
+            "convention's right-edge reflection needs EOS lookahead "
+            "(documented exclusion, docs/conventions.md)")
     fl, hop = cfg.frame_len, cfg.hop_len
     C = chunk.shape[0]
     if C % hop != 0:
@@ -234,6 +239,11 @@ def process_chunks_batch_fused(state: StreamState, chunks: jnp.ndarray,
     from ..ops import kernels
     if variant not in ("mfcc", "logmel", "plp", "spec"):
         raise ValueError(f"unknown streaming variant {variant!r}")
+    if cfg.frame_mode != "valid":
+        raise ValueError(
+            "streaming supports frame_mode='valid' only: the centered "
+            "convention's right-edge reflection needs EOS lookahead "
+            "(documented exclusion, docs/conventions.md)")
     eligible = (kernels.fused_raw_dit.spec_kernel_eligible(cfg)
                 if variant == "spec"
                 else kernels.fused_raw_dit.raw_dit_kernel_eligible(cfg))

@@ -63,7 +63,9 @@ def param_shardings(mesh) -> FrontendParams:
 
 def forward(params: FrontendParams, audio: jnp.ndarray,
             cfg: FeatureConfig) -> jnp.ndarray:
-    """(B, n_samples) -> (B, T, n_mfcc) with learnable filterbank."""
+    """(B, T, n_mfcc) with learnable filterbank.  Full-length rows
+    (no ragged lengths here), so center mode resolves statically."""
+    audio, cfg = framing.resolve_frame_mode_static(audio, cfg)
     y = framing.preemphasize(audio, cfg)
     power = spectrum.power_spectrum_blocked(y, cfg)
     floor = jax.nn.softplus(params.log_floor)

@@ -177,8 +177,26 @@ def frame_signal(x: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
     output sample is (1-a)*x[0]).  Because the predecessor comes from the
     signal rather than being reset per frame, streaming/chunked framing
     produces bitwise-identical values.
+
+    frame_mode="center" (Kaldi snip_edges=false placement, r5): the raw
+    signal is first reflect-padded (symmetric, edge-duplicating — the
+    closed form of Kaldi's ExtractWindow bounce loop) and the "valid"
+    convention then runs on the padded signal; pre-emphasis keeps this
+    framework's signal-level convention ON THE PADDED SIGNAL
+    (docs/conventions.md framing section).
     """
     x = np.asarray(x, dtype=np.float64)
+    if cfg.frame_mode == "center":
+        T = cfg.num_frames(len(x))
+        if T == 0:
+            x = x[:0]
+        else:
+            n = len(x)
+            s = np.arange((T - 1) * cfg.hop_len + cfg.frame_len,
+                          dtype=np.int64) - cfg.center_left_pad
+            m = np.mod(s, 2 * n)
+            x = x[np.minimum(m, 2 * n - 1 - m)]
+        cfg = cfg.replace(frame_mode="valid")
     T = cfg.num_frames(len(x))
     fl, hop = cfg.frame_len, cfg.hop_len
     out = np.empty((T, fl), dtype=np.float64)

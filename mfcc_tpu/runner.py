@@ -391,8 +391,10 @@ def _feature_fn(opts):
             if cfg.dither > 0.0:
                 from .ops import dither as dither_op
                 x = dither_op.apply_jax(x, cfg)
-            y = framing_ops.preemphasize(x, cfg)
-            le = spectrum_ops.log_energy_blocked(y, cfg)
+            x, _vl, vcfg = framing_ops.resolve_frame_mode(
+                x, l, cfg.replace(dither=0.0))
+            y = framing_ops.preemphasize(x, vcfg)
+            le = spectrum_ops.log_energy_blocked(y, vcfg)
             v = post.energy_vad(le[:, : feat.shape[1]], flens,
                                 context=opts.vad_context)
             feat = jnp.concatenate(

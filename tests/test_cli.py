@@ -173,6 +173,26 @@ def test_cli_vad_column(tmp_path, rng):
     assert rep["max_abs_error"] < 1e-4    # vad column excluded from it
 
 
+@pytest.mark.slow
+def test_cli_frame_mode_center(tmp_path, rng):
+    """--frame-mode center end-to-end: Kaldi snip_edges=false frame
+    count, oracle parity via the run report self-check."""
+    d, sigs = _mk_corpus(tmp_path, rng, n=2)
+    out = tmp_path / "feats"
+    r = _run_cli([str(d), "-o", str(out), "--frame-mode", "center"],
+                 tmp_path)
+    assert r.returncode == 0, r.stderr
+    cfg = FeatureConfig(frame_mode="center").validate()
+    for name, sig in sigs.items():
+        feat = np.load(out / f"{name}.npy")
+        assert feat.shape[0] == (len(sig) + 80) // 160   # Kaldi count
+        want = oracle.mfcc(sig.astype(np.float64), cfg)
+        np.testing.assert_allclose(feat, want, atol=1e-4)
+    rep = json.loads((out / "run_report.0.json").read_text())
+    assert rep["max_abs_error"] < 1e-4
+    assert rep["config_hash"] == cfg.config_hash()
+
+
 def test_cli_vad_cmvn_exclusive(tmp_path):
     r = _run_cli([str(tmp_path), "-o", str(tmp_path / "o"),
                   "--vad", "--cmvn"], tmp_path)
