@@ -7,7 +7,7 @@ batch_stats code used in production — the reduction crosses process
 boundaries.  Process 0 validates against the float64 oracle and writes
 a sentinel file the pytest side asserts on.
 
-Usage: python mp_cmvn_worker.py <proc_id> <port> <corpus_dir> <out_dir>
+Usage: python mp_cmvn_worker.py <proc_id> <port> <corpus_dir> <out_dir> [nproc]
 """
 
 import sys
@@ -16,11 +16,12 @@ import os
 proc_id = int(sys.argv[1])
 port = sys.argv[2]
 corpus, out_dir = sys.argv[3], sys.argv[4]
+nproc = int(sys.argv[5]) if len(sys.argv) > 5 else 2
 
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=2, process_id=proc_id)
+                           num_processes=nproc, process_id=proc_id)
 
 import numpy as np
 import jax.numpy as jnp
@@ -36,9 +37,9 @@ cfg = FeatureConfig()
 paths = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
                if f.endswith(".wav"))
 mine = dist.host_shard(paths)
-assert len(mine) > 0 and jax.process_count() == 2
+assert len(mine) > 0 and jax.process_count() == nproc
 
-# local decode + pad (4 rows per process -> global batch of 8)
+# local decode + pad (4 rows per process -> global batch of 4*nproc)
 PAD = 16000
 B_LOCAL = 4
 audio = np.zeros((B_LOCAL, PAD), np.float32)
@@ -54,8 +55,8 @@ feat, flens, mask = mfcc_model.mfcc_batch_jit(
 
 # build globally sharded feature/mask arrays from per-process shards
 mesh = Mesh(np.array(jax.devices()), ("data",))
-gshape_f = (2 * B_LOCAL,) + tuple(feat.shape[1:])
-gshape_m = (2 * B_LOCAL,) + tuple(mask.shape[1:])
+gshape_f = (nproc * B_LOCAL,) + tuple(feat.shape[1:])
+gshape_m = (nproc * B_LOCAL,) + tuple(mask.shape[1:])
 gf = jax.make_array_from_process_local_data(
     NamedSharding(mesh, P("data")), np.asarray(feat), gshape_f)
 gm = jax.make_array_from_process_local_data(
@@ -66,10 +67,10 @@ count = float(stats.count)
 ssum = np.asarray(stats.sum)
 
 if proc_id == 0:
-    # oracle over the SAME utterances both processes contributed
+    # oracle over the SAME utterances every process contributed
     feats64 = []
-    for shard in (dist.host_shard(paths, 0, 2)[:B_LOCAL],
-                  dist.host_shard(paths, 1, 2)[:B_LOCAL]):
+    for shard in (dist.host_shard(paths, r, nproc)[:B_LOCAL]
+                  for r in range(nproc)):
         for p in shard:
             x, _ = wav.read_wav(p)
             feats64.append(oracle.mfcc(x[:PAD].astype(np.float64), cfg))

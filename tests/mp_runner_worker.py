@@ -5,7 +5,7 @@ shared corpus — host-sharding, local-device compute, per-host writers and
 manifests, and the cross-process float64 CMVN reduction all exercised
 exactly as a real multi-host job would.
 
-Usage: python mp_runner_worker.py <proc_id> <port> <corpus> <out_dir>
+Usage: python mp_runner_worker.py <proc_id> <port> <corpus> <out_dir> [nproc]
 """
 
 import sys
@@ -13,11 +13,12 @@ import sys
 proc_id = int(sys.argv[1])
 port = sys.argv[2]
 corpus, out_dir = sys.argv[3], sys.argv[4]
+nproc = int(sys.argv[5]) if len(sys.argv) > 5 else 2
 
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=2, process_id=proc_id)
+                           num_processes=nproc, process_id=proc_id)
 
 import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -26,7 +27,7 @@ from mfcc_tpu import FeatureConfig, runner
 cfg = FeatureConfig(cmvn=True).validate()
 rep = runner.run(corpus, cfg, runner.RunnerOptions(
     out_dir=out_dir, batch_size=2))
-assert rep.n_hosts == 2, rep.n_hosts
+assert rep.n_hosts == nproc, rep.n_hosts
 assert rep.n_utterances > 0
 print(f"proc {proc_id}: {rep.n_utterances} utts, "
       f"{rep.audio_seconds:.2f} audio-sec", flush=True)
