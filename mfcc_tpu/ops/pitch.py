@@ -101,10 +101,13 @@ def pitch_frame_counts(lengths: jnp.ndarray, pcfg: PitchConfig) -> jnp.ndarray:
 
 
 def nccf(xw: jnp.ndarray, pcfg: PitchConfig, mask: jnp.ndarray, *,
-         precision=jax.lax.Precision.HIGHEST):
+         precision=jax.lax.Precision.HIGHEST, ball=None):
     """(B, Nw) work-rate signal -> (nccf_ballasted, nccf_plain), each
     (B, T, n_lags).  mask: (B, T) frame validity (for the masked mean
-    energy the ballast scales with)."""
+    energy the ballast scales with).  ``ball``: optional (B,) precomputed
+    ballast (pcfg.ballast * mean_energy^2) overriding the in-function
+    masked mean — used by the chunked long-form path, where the ballast
+    must be the GLOBAL signal mean, not the per-chunk mean."""
     w, hop = pcfg.frame_len_w, pcfg.hop_len_w
     n, Nc, cos_m, sin_m, cl, sl = _corr_matrices(pcfg)
     B, Nw = xw.shape
@@ -144,14 +147,15 @@ def nccf(xw: jnp.ndarray, pcfg: PitchConfig, mask: jnp.ndarray, *,
     lo, hi = pcfg.min_lag, pcfg.max_lag
     e_lag = (cs[..., w - 1 + lo: w + hi] - cs[..., lo - 1: hi])
 
-    mask_f = mask.astype(e0.dtype)
-    n_valid = jnp.maximum(mask_f.sum(axis=1), 1.0)
-    mean_e = (e0 * mask_f).sum(axis=1) / n_valid       # (B,)
+    if ball is None:
+        mask_f = mask.astype(e0.dtype)
+        n_valid = jnp.maximum(mask_f.sum(axis=1), 1.0)
+        mean_e = (e0 * mask_f).sum(axis=1) / n_valid   # (B,)
+        ball = pcfg.ballast * mean_e * mean_e
 
     prod = jnp.maximum(e0[..., None] * e_lag, 1e-30)
     denom_plain = jnp.sqrt(prod)
-    ball = (pcfg.ballast * mean_e * mean_e)[:, None, None]
-    denom_ball = jnp.sqrt(prod + ball)
+    denom_ball = jnp.sqrt(prod + ball[:, None, None])
     return num / denom_ball, num / denom_plain
 
 
@@ -225,6 +229,54 @@ def _nccf_dispatch(xw: jnp.ndarray, pcfg: PitchConfig, mask: jnp.ndarray,
             xw, ball, pcfg, T=mask.shape[1],
             interpret=backend_lib.pallas_interpret())
     return nccf(xw, pcfg, mask, precision=precision)
+
+
+def _nccf_chunked(xw: jnp.ndarray, pcfg: PitchConfig, mask: jnp.ndarray,
+                  K: int, *, precision, backend: str):
+    """Chunked NCCF: fold time chunks of K frames into the batch axis —
+    (B, Nw) signal -> (B*C, span) rows -> reassembled (B, T, n_lags).
+
+    The long-form lever (VERDICT r4 #2, same shape as blocked Viterbi's
+    lane fill): a B=1 stream leaves the NCCF kernel's batch dimension
+    empty; C = ceil(T/K) hop-aligned chunks fill it.  Frames are
+    bit-identical to the unchunked dispatch on the valid region (chunk
+    starts are hop multiples, so every frame reads the same samples and
+    runs the same per-frame GEMM reductions); the ballast uses the
+    GLOBAL masked mean energy broadcast per chunk (wrapper-side
+    convention, equal to the unchunked XLA path up to f32 summation
+    order in the mean)."""
+    B, Nw = xw.shape
+    T = mask.shape[1]
+    w, hop = pcfg.frame_len_w, pcfg.hop_len_w
+    span = (K - 1) * hop + w + pcfg.max_lag
+    C = -(-T // K)
+    need = (C - 1) * K * hop + span
+    if Nw < need:
+        xw_p = jnp.concatenate(
+            [xw, jnp.zeros((B, need - Nw), xw.dtype)], axis=-1)
+    else:
+        xw_p = xw
+    idx = (np.arange(C) * (K * hop))[:, None] + np.arange(span)[None, :]
+    xc = xw_p[:, idx].reshape(B * C, span)          # static-index gather
+    flens = mask.sum(axis=1).astype(jnp.int32)      # (B,)
+    g = jnp.asarray((np.arange(C) * K)[:, None] + np.arange(K)[None, :])
+    mask_c = (g[None, :, :] < flens[:, None, None]).reshape(B * C, K)
+    mean_e = mean_frame_energy(xw, pcfg, mask)
+    ball = pcfg.ballast * mean_e * mean_e           # (B,) global
+    ball_c = jnp.repeat(ball, C)
+    from .kernels import fused_nccf
+    if (resolve_backend(backend, pcfg) == "pallas"
+            and fused_nccf.nccf_kernel_eligible(pcfg)):
+        from .. import backend as backend_lib
+        nb, npl = fused_nccf.fused_nccf(
+            xc, ball_c, pcfg, T=K,
+            interpret=backend_lib.pallas_interpret())
+    else:
+        nb, npl = nccf(xc, pcfg, mask_c, precision=precision, ball=ball_c)
+    n_lags = nb.shape[-1]
+    nb = nb.reshape(B, C * K, n_lags)[:, :T]
+    npl = npl.reshape(B, C * K, n_lags)[:, :T]
+    return nb, npl
 
 
 def _viterbi_dispatch(nccf_b: jnp.ndarray, pcfg: PitchConfig, *,
@@ -433,6 +485,7 @@ def pitch_features(x: jnp.ndarray, lengths: jnp.ndarray,
                    precision=jax.lax.Precision.HIGHEST,
                    viterbi_block: int | None = None,
                    viterbi_warm: int = 128,
+                   nccf_chunk: int | None = None,
                    backend: str = "auto"):
     """(B, N) zero-padded audio at pcfg.sample_rate + (B,) true lengths ->
     ((B, T, 3) [pov, normalized log pitch, delta log pitch], (B,) frame
@@ -441,7 +494,10 @@ def pitch_features(x: jnp.ndarray, lengths: jnp.ndarray,
     own zero-padded edges).
 
     viterbi_block: opt-in blocked Viterbi (see `viterbi_blocked`) —
-    execution strategy, near-exact, measured in tests/test_pitch.py."""
+    execution strategy, near-exact, measured in tests/test_pitch.py.
+    nccf_chunk: opt-in chunked NCCF (see `_nccf_chunked`) — K frames per
+    chunk folded into the batch axis; bit-identical frames, the B=1
+    long-form throughput lever (pair with viterbi_block)."""
     B, N = x.shape
     T = pcfg.num_frames(N)
     if T <= 0:
@@ -454,8 +510,13 @@ def pitch_features(x: jnp.ndarray, lengths: jnp.ndarray,
     flens = jnp.minimum(flens, T)
     mask = jnp.arange(T, dtype=jnp.int32)[None, :] < flens[:, None]
 
-    nccf_b, nccf_p = _nccf_dispatch(xw, pcfg, mask, precision=precision,
-                                    backend=backend)
+    if nccf_chunk is not None and T > nccf_chunk:
+        nccf_b, nccf_p = _nccf_chunked(xw, pcfg, mask, nccf_chunk,
+                                       precision=precision, backend=backend)
+    else:
+        nccf_b, nccf_p = _nccf_dispatch(xw, pcfg, mask,
+                                        precision=precision,
+                                        backend=backend)
     nccf_b = jnp.where(mask[..., None], nccf_b, 0.0)
     path = _viterbi_dispatch(nccf_b, pcfg, viterbi_block=viterbi_block,
                              viterbi_warm=viterbi_warm, backend=backend)
@@ -478,7 +539,7 @@ def pitch_features(x: jnp.ndarray, lengths: jnp.ndarray,
 
 def pitch_track(x: jnp.ndarray, lengths: jnp.ndarray, pcfg: PitchConfig, *,
                 viterbi_block: int | None = None, viterbi_warm: int = 128,
-                backend: str = "auto"):
+                nccf_chunk: int | None = None, backend: str = "auto"):
     """(B, N), (B,) -> ((B, T) f0 in Hz, (B, T) plain NCCF 'voicing', mask).
     The raw track for consumers that want Hz rather than ASR features."""
     B, N = x.shape
@@ -490,9 +551,14 @@ def pitch_track(x: jnp.ndarray, lengths: jnp.ndarray, pcfg: PitchConfig, *,
           if pcfg.work_rate != pcfg.sample_rate else x.astype(jnp.float32))
     flens = jnp.minimum(pitch_frame_counts(lengths, pcfg), T)
     mask = jnp.arange(T, dtype=jnp.int32)[None, :] < flens[:, None]
-    nccf_b, nccf_p = _nccf_dispatch(
-        xw, pcfg, mask, precision=jax.lax.Precision.HIGHEST,
-        backend=backend)
+    if nccf_chunk is not None and T > nccf_chunk:
+        nccf_b, nccf_p = _nccf_chunked(
+            xw, pcfg, mask, nccf_chunk,
+            precision=jax.lax.Precision.HIGHEST, backend=backend)
+    else:
+        nccf_b, nccf_p = _nccf_dispatch(
+            xw, pcfg, mask, precision=jax.lax.Precision.HIGHEST,
+            backend=backend)
     nccf_b = jnp.where(mask[..., None], nccf_b, 0.0)
     path = _viterbi_dispatch(nccf_b, pcfg, viterbi_block=viterbi_block,
                              viterbi_warm=viterbi_warm, backend=backend)

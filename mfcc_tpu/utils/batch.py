@@ -89,6 +89,89 @@ def make_path_batches(infos: Iterable[tuple[str, int]],
             yield PathBatch(bucket=b, paths=items)
 
 
+@dataclass
+class PackedRow:
+    """One packed row: several utterances in a single (capacity,) signal.
+
+    ``segments`` is a list of (id, offset, n_samples); offsets are
+    hop-aligned so every segment's frames sit on the row's frame grid
+    (frame t of the row starts at t*hop; segment frames are rows
+    [offset//hop, offset//hop + num_frames(n)) — bit-identical to the
+    standalone computation, tests/test_packing.py).
+    """
+    capacity: int
+    segments: list  # of (id, offset, n)
+
+
+def pack_rows(infos: Iterable[tuple[object, int]], capacity: int,
+              hop: int, lookahead: int = 256) -> Iterator[PackedRow]:
+    """First-fit-decreasing packing of (id, n_samples) into rows.
+
+    The hot-path utilization lever (VERDICT r4 #1): with geometric
+    buckets, a ragged corpus at mean fill f runs the padded program at
+    utilization == f; packing multiple utterances per row recovers the
+    (1-f) padded slack.  Placement rule: each segment starts at the
+    smallest hop multiple >= previous end + 1 — the one-sample gap
+    carries the HTK pre-emphasis predecessor (the decoder writes the
+    segment's first sample there, see pack_audio/runner), and the
+    hop alignment makes packed frames bit-identical to standalone.
+
+    FFD runs over a bounded ``lookahead`` window so the corpus streams;
+    rows are emitted as soon as no pending utterance fits.  Segments
+    longer than capacity are truncated (same policy as the top bucket).
+    """
+    if capacity % hop:
+        raise ValueError(f"capacity {capacity} must be a hop multiple")
+
+    def fit_at(used: int) -> int:
+        """Next hop-aligned start leaving a predecessor sample."""
+        return ((used + 1 + hop - 1) // hop) * hop if used else 0
+
+    window: list[tuple[object, int]] = []
+
+    def emit_best() -> PackedRow:
+        # FFD: repeatedly place the longest pending item that fits
+        window.sort(key=lambda kv: -kv[1])
+        segs, used = [], 0
+        i = 0
+        while i < len(window):
+            uid, n = window[i]
+            start = fit_at(used)
+            if start + n <= capacity:
+                segs.append((uid, start, n))
+                used = start + n
+                window.pop(i)
+            else:
+                i += 1
+        return PackedRow(capacity=capacity, segments=segs)
+
+    for uid, n in infos:
+        window.append((uid, min(int(n), capacity)))
+        if len(window) >= lookahead:
+            yield emit_best()
+    while window:
+        yield emit_best()
+
+
+def pack_audio(row: PackedRow,
+               fetch: "callable") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Materialize one packed row: (signal (capacity,), starts (S,),
+    lens (S,)).  ``fetch(id) -> float32 signal``.  Writes each segment's
+    first sample into the preceding gap position so signal-convention
+    pre-emphasis sees the HTK predecessor (x[-1] := x[0]) exactly as a
+    standalone utterance would."""
+    sig = np.zeros((row.capacity,), np.float32)
+    starts = np.zeros((len(row.segments),), np.int32)
+    lens = np.zeros((len(row.segments),), np.int32)
+    for j, (uid, off, n) in enumerate(row.segments):
+        x = np.asarray(fetch(uid), np.float32)[:n]
+        sig[off: off + len(x)] = x
+        if off > 0 and len(x):
+            sig[off - 1] = x[0]
+        starts[j], lens[j] = off, len(x)
+    return sig, starts, lens
+
+
 def make_batches(utterances: Iterable[tuple[object, np.ndarray]],
                  batch_size: int,
                  ladder: Sequence[int] | None = None,

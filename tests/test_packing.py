@@ -1,0 +1,102 @@
+"""Packed ragged batches (VERDICT r4 #1): multiple utterances per padded
+row recover the (1 - fill) utilization a bucketed ragged corpus leaves on
+the floor.  The load-bearing claim is BIT-IDENTITY: a packed segment's
+features equal the standalone computation of that utterance exactly
+(hop-aligned placement -> same samples, same GEMM reductions; the
+packer's one-sample gap carries the HTK pre-emphasis predecessor)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mfcc_tpu import FeatureConfig
+from mfcc_tpu.models import mfcc as mfcc_model
+from mfcc_tpu.utils import batch as batch_lib
+
+CFG = FeatureConfig()
+HOP = CFG.hop_len
+
+
+def _ragged(rng, n_utts=12, lo=8000, hi=16000):
+    return [(f"u{i}", (rng.standard_normal(int(rng.integers(lo, hi)))
+                       * 0.3).astype(np.float32)) for i in range(n_utts)]
+
+
+def test_pack_rows_geometry(rng):
+    sigs = dict(_ragged(rng))
+    infos = [(k, len(v)) for k, v in sigs.items()]
+    rows = list(batch_lib.pack_rows(infos, capacity=40 * HOP * 25,
+                                    hop=HOP, lookahead=8))
+    seen = []
+    for row in rows:
+        prev_end = None
+        for uid, off, n in row.segments:
+            assert off % HOP == 0                       # frame grid
+            if prev_end is not None:
+                assert off >= prev_end + 1              # predecessor gap
+            assert off + n <= row.capacity
+            prev_end = off + n
+            seen.append(uid)
+    assert sorted(seen) == sorted(sigs)                 # exactly once
+
+
+def test_pack_improves_fill(rng):
+    """Steady-state fill beats the one-utterance-per-row baseline on the
+    benchmark's own distribution (uniform n/2..n -> 75% mean fill)."""
+    n = 160000
+    lens = np.linspace(n // 2, n, 64).astype(int)
+    infos = [(i, int(L)) for i, L in enumerate(lens)]
+    C = 8 * n
+    rows = list(batch_lib.pack_rows(infos, capacity=C, hop=HOP,
+                                    lookahead=64))
+    full = rows[:-1] or rows                # steady-state rows
+    fill = sum(s[2] for r in full for s in r.segments) / (len(full) * C)
+    assert fill > 0.90, fill
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_packed_features_bit_identical(rng, backend):
+    """Segment features == standalone features, bitwise (same reduction
+    per output element); gap/boundary frames zeroed."""
+    sigs = _ragged(rng, n_utts=6)
+    infos = [(k, len(v)) for k, v in sigs]
+    by_id = dict(sigs)
+    C = 5 * 16000
+    rows = list(batch_lib.pack_rows(infos, capacity=C, hop=HOP,
+                                    lookahead=16))
+    S = max(len(r.segments) for r in rows)
+    B = len(rows)
+    x = np.zeros((B, C), np.float32)
+    starts = np.zeros((B, S), np.int32)
+    lens = np.zeros((B, S), np.int32)
+    for b, row in enumerate(rows):
+        sig, st, ln = batch_lib.pack_audio(row, by_id.__getitem__)
+        x[b] = sig
+        starts[b, : len(st)], lens[b, : len(ln)] = st, ln
+    feat, f0, fc, mask = mfcc_model.mfcc_batch_packed_jit(
+        jnp.asarray(x), jnp.asarray(starts), jnp.asarray(lens), CFG,
+        backend)
+    feat = np.asarray(feat)
+    f0, fc, mask = np.asarray(f0), np.asarray(fc), np.asarray(mask)
+    for b, row in enumerate(rows):
+        for j, (uid, off, n) in enumerate(row.segments):
+            want, wl, _ = mfcc_model.mfcc_batch_jit(
+                jnp.asarray(by_id[uid][None, :n]),
+                jnp.asarray([n], np.int32), CFG, backend)
+            assert fc[b, j] == int(wl[0]) == CFG.num_frames(n)
+            got = feat[b, f0[b, j]: f0[b, j] + fc[b, j]]
+            np.testing.assert_array_equal(got, np.asarray(want)[0])
+    # everything outside the union of segments is zero
+    assert np.all(feat[~mask] == 0.0)
+
+
+def test_packed_rejects_deltas_and_center():
+    x = jnp.zeros((1, 16000))
+    s = jnp.zeros((1, 1), jnp.int32)
+    l = jnp.full((1, 1), 16000, jnp.int32)
+    with pytest.raises(ValueError, match="deltas"):
+        mfcc_model.mfcc_batch_packed(x, s, l,
+                                     FeatureConfig(deltas=True))
+    with pytest.raises(ValueError, match="valid"):
+        mfcc_model.mfcc_batch_packed(x, s, l,
+                                     FeatureConfig(frame_mode="center"))
