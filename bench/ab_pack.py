@@ -153,12 +153,48 @@ def main():
         "fill": round(fill, 4),
         "reps": [round(packed_audio_sec / r, 1) for r in reps]}
 
+    # ---- split packing at the PROVEN (B, n) shape: utterances split
+    # across rows at frame boundaries (streaming-chunk construction), so
+    # rows fill to ~100% without changing the kernel's best shape -------
+    stream2 = [(i, int(lengths[i % B])) for i in range(4 * B)]
+    rows_s = list(batch_lib.pack_rows_split(
+        stream2, capacity=n, hop=cfg.hop_len,
+        frame_len=cfg.frame_len))[:B]
+    Ss = max(len(r.segments) for r in rows_s)
+    xs = np.zeros((B, n), np.float32)
+    starts_s = np.zeros((B, Ss), np.int32)
+    lens_s = np.zeros((B, Ss), np.int32)
+    real = 0
+    for b, row in enumerate(rows_s):
+        sig, st, ln, pcs = batch_lib.pack_audio_split(
+            row, lambda uid: make_sig(int(lengths[uid % B]), uid))
+        xs[b] = sig
+        starts_s[b, : len(st)], lens_s[b, : len(ln)] = st, ln
+        # real audio credited: frames emitted x hop (+ tail window once
+        # per utterance-final piece) — conservative: count span MINUS
+        # the duplicated overlap of continuations
+        for pc in pcs:
+            real += pc.n_frames * cfg.hop_len
+    split_audio_sec = real / sr
+    split_fill = real / (B * n)
+    xsd = jax.device_put(jnp.asarray(xs), dev)
+    stsd = jax.device_put(jnp.asarray(starts_s), dev)
+    lnsd = jax.device_put(jnp.asarray(lens_s), dev)
+    dt, reps = scan_timed(
+        lambda x: mfcc_model.mfcc_batch_packed(x, stsd, lnsd, cfg)[0],
+        xsd)
+    results["packed_split_ragged"] = {
+        "real_audio_sec_per_s": round(split_audio_sec / dt, 1),
+        "fill_frames_x_hop": round(split_fill, 4),
+        "max_segments": int(Ss),
+        "reps": [round(split_audio_sec / r, 1) for r in reps]}
+
+    best = max(results["packed_ragged"]["real_audio_sec_per_s"],
+               results["packed_split_ragged"]["real_audio_sec_per_s"])
     results["packed_vs_padded_ragged"] = round(
-        results["packed_ragged"]["real_audio_sec_per_s"]
-        / results["padded_ragged"]["real_audio_sec_per_s"], 3)
+        best / results["padded_ragged"]["real_audio_sec_per_s"], 3)
     results["packed_pct_of_padded_full"] = round(
-        100.0 * results["packed_ragged"]["real_audio_sec_per_s"]
-        / results["padded_full"]["audio_sec_per_s"], 1)
+        100.0 * best / results["padded_full"]["audio_sec_per_s"], 1)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "ab_pack.json")

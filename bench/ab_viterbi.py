@@ -46,6 +46,9 @@ def main():
                     help="utterance length for the longform-* modes (B=1)")
     ap.add_argument("--block", type=int, default=256)
     ap.add_argument("--warm", type=int, default=128)
+    ap.add_argument("--nccf-chunk", type=int, default=128,
+                    help="frames per chunk for the longform-*chunked* "
+                         "modes (r5 chunked NCCF)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "ab_viterbi.json"))
     args = ap.parse_args()
@@ -133,16 +136,17 @@ def main():
                 return (lambda s: pitch_op.viterbi_blocked(
                     s, pcfg, block=args.block, warm=args.warm,
                     backend="pallas")), sl
+            # shared long-form audio for the e2e/stage modes
+            nls = int(args.long_seconds * sr)
+            rngf = np.random.default_rng(2)
+            tl = np.arange(nls) / sr
+            xl = (0.4 * np.sin(2 * np.pi * 180 * tl)
+                  + 0.02 * rngf.standard_normal(nls)).astype(np.float32)
+            xl_d = jax.device_put(jnp.asarray(xl)[None, :], dev)
+            ll_d = jnp.asarray([nls], jnp.int32)
             if mode == "longform-full":
                 # END-TO-END single stream: resample + NCCF kernel +
                 # blocked Viterbi (chunks -> kernel lanes) + post
-                nls = int(args.long_seconds * sr)
-                rngf = np.random.default_rng(2)
-                tl = np.arange(nls) / sr
-                xl = (0.4 * np.sin(2 * np.pi * 180 * tl)
-                      + 0.02 * rngf.standard_normal(nls)).astype(np.float32)
-                xl_d = jax.device_put(jnp.asarray(xl)[None, :], dev)
-                ll_d = jnp.asarray([nls], jnp.int32)
 
                 def fn(x):
                     f, _, _ = pitch_op.pitch_features(
@@ -150,6 +154,79 @@ def main():
                         viterbi_warm=args.warm)
                     return f
                 return fn, xl_d
+            if mode.startswith("longform-full-chunked"):
+                # r5 (VERDICT r4 #2): + chunked NCCF — K-frame chunks
+                # fill the NCCF kernel's batch dimension at B=1
+                K = int(mode.rsplit("-", 1)[-1]) if mode[-1].isdigit() \
+                    else args.nccf_chunk
+
+                def fn(x):
+                    f, _, _ = pitch_op.pitch_features(
+                        x, ll_d, pcfg, viterbi_block=args.block,
+                        viterbi_warm=args.warm, nccf_chunk=K)
+                    return f
+                return fn, xl_d
+            # ---- B=1 stage splits (the bound-naming rows) -------------
+            nwl = int(args.long_seconds * pcfg.work_rate)
+            Tl = ((nwl - (pcfg.frame_len_w + pcfg.max_lag))
+                  // pcfg.hop_len_w + 1)
+            mask_l = jnp.ones((1, Tl), bool)
+            if mode == "longform-resample":
+                return (lambda x: resample(x, pcfg.sample_rate,
+                                           pcfg.work_rate)), xl_d
+            xw_l = jax.block_until_ready(
+                resample(xl_d, pcfg.sample_rate, pcfg.work_rate))
+            if mode == "longform-nccf":
+                def fn(x):
+                    b, _ = pitch_op._nccf_dispatch(
+                        x, pcfg, mask_l,
+                        precision=jax.lax.Precision.HIGHEST,
+                        backend="auto")
+                    return b
+                return fn, xw_l
+            if mode.startswith("longform-nccf-chunked"):
+                K = int(mode.rsplit("-", 1)[-1]) if mode[-1].isdigit() \
+                    else args.nccf_chunk
+
+                def fn(x):
+                    b, _ = pitch_op._nccf_chunked(
+                        x, pcfg, mask_l, K,
+                        precision=jax.lax.Precision.HIGHEST,
+                        backend="auto")
+                    return b
+                return fn, xw_l
+            if mode == "longform-post":
+                nb_l, np_l = jax.jit(lambda x: pitch_op._nccf_chunked(
+                    x, pcfg, mask_l, args.nccf_chunk,
+                    precision=jax.lax.Precision.HIGHEST,
+                    backend="auto"))(xw_l)
+                nb_l = jnp.where(mask_l[..., None], nb_l, 0.0)
+                path_l = jax.block_until_ready(jax.jit(
+                    lambda s: pitch_op.viterbi_blocked(
+                        s, pcfg, block=args.block, warm=args.warm,
+                        backend="pallas" if jax.default_backend() == "tpu"
+                        else "xla"))(nb_l))
+                from mfcc_tpu.ops import deltas as deltas_op
+                from mfcc_tpu.ops import xmath
+                flens_l = jnp.asarray([Tl], jnp.int32)
+
+                def fn(nccf_p):
+                    ym, c, yp = pitch_op._path_neighborhood(nccf_p, path_l)
+                    dlag = pitch_op._parabolic_from(ym, c, yp, path_l,
+                                                    nccf_p.shape[-1])
+                    lag = pcfg.min_lag + path_l.astype(jnp.float32) + dlag
+                    log_f0 = xmath.accurate_log(
+                        jnp.float32(pcfg.work_rate) / lag)
+                    pov = pitch_op.pov_feature(c)
+                    wgt = (jnp.clip(c, 0.0, 1.0) ** 2
+                           * mask_l.astype(c.dtype))
+                    norm = log_f0 - pitch_op.weighted_sliding_mean(
+                        log_f0, wgt, pcfg.norm_window)
+                    d = deltas_op.deltas(log_f0[..., None],
+                                         pcfg.delta_window,
+                                         lengths=flens_l)[..., 0]
+                    return jnp.stack([pov, norm, d], axis=-1)
+                return fn, jax.block_until_ready(np_l)
             raise ValueError(mode)
         if mode == "resample":
             return (lambda x: resample(x, pcfg.sample_rate,

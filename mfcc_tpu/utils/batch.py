@@ -153,6 +153,98 @@ def pack_rows(infos: Iterable[tuple[object, int]], capacity: int,
         yield emit_best()
 
 
+@dataclass
+class PackedPiece:
+    """One piece of one utterance inside a packed row (splittable
+    packing): frames [frame_start, frame_start + n_frames) of utterance
+    ``uid``, whose samples [samp_start, samp_start + span) sit at
+    ``row_off`` (hop-aligned) in the row.  span = (n_frames-1)*hop +
+    frame_len exactly."""
+    uid: object
+    row_off: int
+    samp_start: int     # frame-aligned offset into the utterance
+    frame_start: int    # = samp_start // hop
+    n_frames: int
+    span: int
+
+
+def pack_rows_split(infos: Iterable[tuple[object, int]], capacity: int,
+                    hop: int, frame_len: int) -> Iterator[PackedRow]:
+    """Splittable next-fit packing: rows fill to ~100% regardless of the
+    length distribution, because an utterance that does not fit is SPLIT
+    at a frame boundary and continues in the next row (the streaming-
+    chunk construction applied to packing).  The continuation re-carries
+    frame_len - hop + 1 duplicated samples (its first frame's lookback
+    plus the pre-emphasis predecessor) — ~1.5% of a row at the default
+    geometry — so utilization is 1 - O(splits)/capacity instead of the
+    bin-packing fill.  Pieces are bit-identical to the standalone frames
+    (hop-aligned placement; true-predecessor gap sample).
+
+    Yields PackedRow whose ``segments`` are PackedPiece entries.
+    """
+    if capacity % hop:
+        raise ValueError(f"capacity {capacity} must be a hop multiple")
+    if capacity < frame_len:
+        raise ValueError("capacity must hold at least one frame")
+
+    def fit_at(used: int) -> int:
+        return ((used + 1 + hop - 1) // hop) * hop if used else 0
+
+    row: list[PackedPiece] = []
+    used = 0
+
+    def num_frames(n):
+        return 0 if n < frame_len else 1 + (n - frame_len) // hop
+
+    for uid, n in infos:
+        T_u = num_frames(int(n))
+        f0 = 0
+        while f0 < T_u:
+            start = fit_at(used)
+            if start == 0 and f0 > 0:
+                # a CONTINUATION at row offset 0 would have no slot for
+                # its true predecessor sample (utterance starts are fine
+                # there: prev := x[0] is the HTK convention and
+                # preemphasize() applies it at buffer position 0)
+                start = hop
+            avail = capacity - start
+            if avail < frame_len:
+                yield PackedRow(capacity=capacity, segments=row)
+                row, used = [], 0
+                continue
+            fit_frames = min((avail - frame_len) // hop + 1, T_u - f0)
+            span = (fit_frames - 1) * hop + frame_len
+            row.append(PackedPiece(uid=uid, row_off=start,
+                                   samp_start=f0 * hop, frame_start=f0,
+                                   n_frames=fit_frames, span=span))
+            used = start + span
+            f0 += fit_frames
+    if row:
+        yield PackedRow(capacity=capacity, segments=row)
+
+
+def pack_audio_split(row: PackedRow, fetch: "callable"):
+    """Materialize a splittable-packed row: (signal (capacity,),
+    starts (S,), lens (S,), pieces).  ``fetch(uid) -> float32 signal``.
+    Each piece's predecessor slot gets the TRUE preceding sample of the
+    utterance (continuations) or the first sample (utterance start, HTK
+    convention) — so pre-emphasis is bit-identical to standalone."""
+    sig = np.zeros((row.capacity,), np.float32)
+    S = len(row.segments)
+    starts = np.zeros((S,), np.int32)
+    lens = np.zeros((S,), np.int32)
+    for j, pc in enumerate(row.segments):
+        x = np.asarray(fetch(pc.uid), np.float32)
+        piece = x[pc.samp_start: pc.samp_start + pc.span]
+        sig[pc.row_off: pc.row_off + len(piece)] = piece
+        if pc.row_off > 0 and len(piece):
+            prev = (x[pc.samp_start - 1] if pc.samp_start > 0
+                    else piece[0])
+            sig[pc.row_off - 1] = prev
+        starts[j], lens[j] = pc.row_off, pc.span
+    return sig, starts, lens, row.segments
+
+
 def pack_audio(row: PackedRow,
                fetch: "callable") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Materialize one packed row: (signal (capacity,), starts (S,),

@@ -90,6 +90,59 @@ def test_packed_features_bit_identical(rng, backend):
     assert np.all(feat[~mask] == 0.0)
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_split_packed_features_bit_identical(rng, backend):
+    """Splittable packing: utterances split across rows at frame
+    boundaries (streaming-chunk construction) reassemble to the
+    standalone features EXACTLY — including continuations whose
+    pre-emphasis predecessor is the true preceding sample."""
+    sigs = _ragged(rng, n_utts=7, lo=9000, hi=30000)
+    by_id = dict(sigs)
+    infos = [(k, len(v)) for k, v in sigs]
+    C = 2 * 16000
+    rows = list(batch_lib.pack_rows_split(infos, capacity=C, hop=HOP,
+                                          frame_len=CFG.frame_len))
+    # rows fill to ~capacity (splitting makes next-fit near-perfect)
+    for r in rows[:-1]:
+        last = r.segments[-1]
+        assert last.row_off + last.span > C - CFG.frame_len - HOP
+    S = max(len(r.segments) for r in rows)
+    B = len(rows)
+    x = np.zeros((B, C), np.float32)
+    starts = np.zeros((B, S), np.int32)
+    lens = np.zeros((B, S), np.int32)
+    pieces = []
+    for b, row in enumerate(rows):
+        sig, st, ln, pcs = batch_lib.pack_audio_split(
+            row, by_id.__getitem__)
+        x[b] = sig
+        starts[b, : len(st)], lens[b, : len(ln)] = st, ln
+        pieces.append(pcs)
+    feat, f0, fc, mask = mfcc_model.mfcc_batch_packed_jit(
+        jnp.asarray(x), jnp.asarray(starts), jnp.asarray(lens), CFG,
+        backend)
+    feat = np.asarray(feat)
+    # reassemble per utterance and compare bitwise to standalone
+    rebuilt = {k: np.zeros((CFG.num_frames(len(v)), CFG.n_mfcc),
+                           np.float32) for k, v in sigs}
+    covered = {k: np.zeros((CFG.num_frames(len(v)),), bool) for k, v in sigs}
+    for b, pcs in enumerate(pieces):
+        for j, pc in enumerate(pcs):
+            rows_out = feat[b, int(f0[b, j]): int(f0[b, j] + fc[b, j])]
+            assert int(fc[b, j]) == pc.n_frames
+            rebuilt[pc.uid][pc.frame_start: pc.frame_start
+                            + pc.n_frames] = rows_out
+            covered[pc.uid][pc.frame_start: pc.frame_start
+                            + pc.n_frames] = True
+    for uid, sig in sigs:
+        assert covered[uid].all()
+        want, wl, _ = mfcc_model.mfcc_batch_jit(
+            jnp.asarray(sig[None]), jnp.asarray([len(sig)], np.int32),
+            CFG, backend)
+        np.testing.assert_array_equal(rebuilt[uid],
+                                      np.asarray(want)[0, : int(wl[0])])
+
+
 def test_packed_rejects_deltas_and_center():
     x = jnp.zeros((1, 16000))
     s = jnp.zeros((1, 1), jnp.int32)
