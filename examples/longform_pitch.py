@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--minutes", type=float, default=2.0)
     ap.add_argument("--block", type=int, default=256)
     ap.add_argument("--warm", type=int, default=128)
+    ap.add_argument("--nccf-chunk", type=int, default=128,
+                    help="chunked NCCF: frames per chunk folded into the "
+                         "batch axis (r5; bit-identical frames, fills "
+                         "the NCCF kernel's batch lanes at B=1; 0 = off)")
     args = ap.parse_args()
 
     if args.wav:
@@ -69,7 +73,8 @@ def main():
     xb = jnp.asarray(x)[None, :]
     lens = jnp.asarray([x.shape[-1]], jnp.int32)
     f0, voicing, mask = pitch_op.pitch_track(
-        xb, lens, pcfg, viterbi_block=args.block, viterbi_warm=args.warm)
+        xb, lens, pcfg, viterbi_block=args.block, viterbi_warm=args.warm,
+        nccf_chunk=args.nccf_chunk or None)
     f0 = np.asarray(f0)[0]
     voicing = np.asarray(voicing)[0]
     valid = np.asarray(mask)[0]

@@ -36,6 +36,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resample", action="store_true",
                    help="convert foreign-rate WAVs to --sample-rate "
                         "(Kaiser polyphase) instead of quarantining them")
+    p.add_argument("--pack", action="store_true",
+                   help="splittable multi-utterance row packing: rows "
+                        "fill to ~100%% on ragged corpora (the padded "
+                        "slack carries real audio) and long utterances "
+                        "stream through fixed rows untruncated.  Plain "
+                        "MFCC/log-mel (+ global --cmvn) only; "
+                        "per-piece features are bit-identical to the "
+                        "unpacked pipeline (docs/performance.md)")
+    p.add_argument("--pack-seconds", type=float, default=10.0,
+                   help="packed row capacity in seconds")
 
     f = p.add_argument_group("feature config")
     f.add_argument("--sample-rate", type=int, default=16000)
@@ -178,6 +188,7 @@ def main(argv=None) -> int:
         pitch=a.pitch, cmvn_sliding=a.cmvn_sliding,
         cmvn_online=a.cmvn_online, cmvn_online_prior=a.cmvn_online_prior,
         splice=a.splice, vad=a.vad, vad_context=a.vad_context,
+        pack=a.pack, pack_seconds=a.pack_seconds,
         resume=not a.no_resume, trace_dir=a.trace_dir, backend=a.backend,
         out_format=a.format, resample=a.resample)
     rep = run(a.input, cfg, opts)

@@ -161,7 +161,7 @@ def mfcc_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
 
 def mfcc_batch_packed(x: jnp.ndarray, seg_starts: jnp.ndarray,
                       seg_lens: jnp.ndarray, cfg: FeatureConfig,
-                      backend: str = "auto"):
+                      backend: str = "auto", apply_dct: bool = True):
     """Packed ragged batch (utils/batch.pack_rows; VERDICT r4 #1):
     several utterances per row at hop-aligned offsets, so the padded
     program's slack carries real audio instead of zeros.
@@ -192,7 +192,8 @@ def mfcc_batch_packed(x: jnp.ndarray, seg_starts: jnp.ndarray,
         raise ValueError("packed batches support frame_mode='valid' only")
     if x.dtype == jnp.int16:
         x = x.astype(jnp.float32) * (1.0 / 32768.0)
-    feat = _features_from_audio(x, cfg, backend=backend)
+    feat = _features_from_audio(x, cfg, backend=backend,
+                                apply_dct=apply_dct)
     T = feat.shape[-2]
     hop = cfg.hop_len
     f0 = seg_starts.astype(jnp.int32) // hop                    # (B, S)
@@ -204,11 +205,12 @@ def mfcc_batch_packed(x: jnp.ndarray, seg_starts: jnp.ndarray,
     return feat, f0, fc, mask
 
 
-@partial(jax.jit, static_argnames=("cfg", "backend"))
+@partial(jax.jit, static_argnames=("cfg", "backend", "apply_dct"))
 def mfcc_batch_packed_jit(x: jnp.ndarray, seg_starts: jnp.ndarray,
                           seg_lens: jnp.ndarray, cfg: FeatureConfig,
-                          backend: str = "auto"):
-    return mfcc_batch_packed(x, seg_starts, seg_lens, cfg, backend)
+                          backend: str = "auto", apply_dct: bool = True):
+    return mfcc_batch_packed(x, seg_starts, seg_lens, cfg, backend,
+                             apply_dct)
 
 
 @partial(jax.jit, static_argnames=("cfg", "backend"))

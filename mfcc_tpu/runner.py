@@ -165,6 +165,17 @@ class RunnerOptions:
     cmvn_online_prior: str | None = None  # cmvn.npz global stats blended
                                       # while the causal window is young
     splice: int = 0                   # symmetric context splice (0=off)
+    pack: bool = False                # splittable multi-utterance row
+                                      # packing (utils/batch.pack_rows_
+                                      # split): rows fill to ~100% on
+                                      # ragged corpora and arbitrarily
+                                      # long utterances stream through
+                                      # fixed rows.  MFCC/log-mel only;
+                                      # incompatible with the per-row
+                                      # post chain (pitch/cmvn-sliding/
+                                      # online/splice/vad), deltas,
+                                      # center framing, and --resample.
+    pack_seconds: float = 10.0        # packed row capacity (seconds)
     vad: bool = False                 # append a 0/1 energy-VAD column
                                       # (ops/post.energy_vad on the frame
                                       # log energies, computed from the
@@ -471,6 +482,20 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
             "pass rewrites every stored column, which would normalize the "
             "0/1 VAD indicator (use cmvn_sliding/cmvn_online, or run VAD "
             "in a separate pass)")
+    if opts.pack:
+        bad = [nm for nm, on in (
+            ("plp", opts.plp), ("spectrogram", opts.spectrogram),
+            ("pitch", opts.pitch), ("cmvn_sliding", opts.cmvn_sliding),
+            ("cmvn_online", opts.cmvn_online), ("splice", opts.splice),
+            ("vad", opts.vad), ("deltas", cfg.deltas),
+            ("resample", opts.resample),
+            ("frame_mode=center", cfg.frame_mode != "valid")) if on]
+        if bad:
+            raise ValueError(
+                f"pack supports plain MFCC/log-mel extraction only "
+                f"(optionally with global --cmvn); incompatible with: "
+                f"{', '.join(bad)} (per-row post-processing and "
+                f"time-recursive stages cannot cross segment boundaries)")
     os.makedirs(opts.out_dir, exist_ok=True)
     rep = report.RunReport(
         config_hash=cfg.config_hash(),
@@ -646,9 +671,158 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
                     man.set_cmvn(*stats)
                 man.save()
 
+    def _packed_loop(on_bad):
+        """--pack: splittable multi-utterance rows (utils/batch.
+        pack_rows_split) through mfcc_batch_packed — rows fill to ~100%
+        on ragged corpora (the bucket ladder's padded slack carries real
+        audio instead of zeros), and arbitrarily long utterances stream
+        through fixed (B, capacity) rows with no top-bucket truncation.
+        Per-piece features are bit-identical to the standalone pipeline
+        (tests/test_packing.py); utterances are reassembled host-side
+        and written once complete."""
+        nonlocal stats
+        hop, fl = cfg.hop_len, cfg.frame_len
+        capacity = max(int(round(opts.pack_seconds * cfg.sample_rate
+                                 / hop)), -(-fl // hop)) * hop
+        # worst-case pieces per row: 1-frame pieces stride fl+hop-aligned
+        s_max = capacity // ((-(-fl // hop)) * hop + hop) + 2
+        n_out = cfg.n_mels if opts.logmel else cfg.n_mfcc
+        sr = cfg.sample_rate
+        cache: dict = {}        # uid -> decoded f32 signal
+        bad_uids: set = set()
+        bufs: dict = {}         # uid -> [feature buffer, frames filled]
+        checked = [rep.max_abs_error is not None]
+
+        def fetch(uid):
+            if uid in bad_uids:
+                return None
+            if uid not in cache:
+                try:
+                    xx, sr_ = wav.read_wav(uid)
+                    if sr_ != sr:
+                        raise ValueError(f"sample rate {sr_}")
+                    cache[uid] = xx.astype(np.float32)
+                except (OSError, ValueError) as e:
+                    print(f"[quarantine] {uid}: {e}")
+                    if man is not None:
+                        man.mark_quarantined(uid)
+                    bad_uids.add(uid)
+                    return None
+            return cache[uid]
+
+        def infos_gen():
+            for p, n in _probe(paths, cfg, on_bad):
+                if cfg.num_frames(int(n)) == 0:
+                    # shorter than one frame: empty output now (the
+                    # packer would silently drop a zero-frame utterance
+                    # and resume would retry it forever)
+                    if fetch(p) is not None:
+                        finish_utt(p, np.zeros((0, n_out), np.float32))
+                    continue
+                yield p, n
+
+        def batches():
+            buf = []
+            for row in batch_lib.pack_rows_split(
+                    infos_gen(), capacity, hop, fl):
+                buf.append(row)
+                if len(buf) == batch_size:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        def assemble(rows):
+            x = np.zeros((batch_size, capacity), np.float32)
+            starts = np.zeros((batch_size, s_max), np.int32)
+            lens = np.zeros((batch_size, s_max), np.int32)
+            kept = []
+            for b, row in enumerate(rows):
+                segs = [pc for pc in row.segments
+                        if fetch(pc.uid) is not None]
+                r2 = batch_lib.PackedRow(capacity=capacity, segments=segs)
+                sig, st, ln, _ = batch_lib.pack_audio_split(r2, fetch)
+                assert len(st) <= s_max, (len(st), s_max)
+                x[b] = sig
+                starts[b, : len(st)], lens[b, : len(ln)] = st, ln
+                kept.append(r2)
+            return kept, x, starts, lens
+
+        def finish_utt(uid, feat_u):
+            nonlocal stats
+            sig = cache.pop(uid)
+            rep.n_utterances += 1
+            rep.audio_seconds += len(sig) / sr
+            if not checked[0] and not cfg.cmvn and feat_u.shape[0]:
+                ref_fn = oracle.log_mel if opts.logmel else oracle.mfcc
+                want = ref_fn(sig.astype(np.float64), cfg)
+                if want.shape[0]:
+                    rep.max_abs_error = float(
+                        np.abs(feat_u[: want.shape[0]] - want).max())
+                    checked[0] = True
+            if cfg.cmvn:
+                stats = stats.merge(_host_batch_stats(
+                    feat_u[None], np.asarray([feat_u.shape[0]])))
+            writer.write(uid, feat_u)
+            if man is not None:
+                man.mark(uid)
+
+        def write_packed(rows, feat_dev, f0_dev, fc_dev):
+            with report.stage_timer(rep, "fetch+write"):
+                from .utils.fetch import chunked_to_numpy
+                feat_np = chunked_to_numpy(feat_dev)
+                f0 = np.asarray(f0_dev)
+                fc = np.asarray(fc_dev)
+                for b, row in enumerate(rows):
+                    for j, pc in enumerate(row.segments):
+                        if pc.uid in bad_uids:
+                            continue
+                        ent = bufs.get(pc.uid)
+                        if ent is None:
+                            T_u = cfg.num_frames(len(cache[pc.uid]))
+                            ent = [np.zeros((T_u, n_out), np.float32), 0]
+                            bufs[pc.uid] = ent
+                        ent[0][pc.frame_start: pc.frame_start
+                               + pc.n_frames] = \
+                            feat_np[b, f0[b, j]: f0[b, j] + fc[b, j]]
+                        ent[1] += pc.n_frames
+                        if ent[1] == ent[0].shape[0]:
+                            finish_utt(pc.uid, bufs.pop(pc.uid)[0])
+                if man is not None:
+                    if cfg.cmvn:
+                        man.set_cmvn(*stats)
+                    man.save()
+
+        apply_dct = not opts.logmel
+        in_flight = None
+        for rows in batches():
+            with report.stage_timer(rep, "decode"):
+                kept, x, starts, lens = assemble(rows)
+            with report.stage_timer(rep, "dispatch"):
+                a_dev, _ = _to_device(x, lens[:, 0])
+                feat, f0, fc, _m = mfcc_model.mfcc_batch_packed_jit(
+                    a_dev, jnp.asarray(starts), jnp.asarray(lens), cfg,
+                    opts.backend, apply_dct)
+            if in_flight is not None:
+                write_packed(*in_flight)
+            in_flight = (kept, feat, f0, fc)
+        if in_flight is not None:
+            write_packed(*in_flight)
+        if man is not None:
+            man.save()   # persist trailing quarantines
+
     t0 = time.perf_counter()
     in_flight = None  # depth-2 software pipeline: decode/dispatch N+1
     on_bad = man.mark_quarantined if man is not None else None
+    if opts.pack:
+        with report.maybe_profile(opts.trace_dir):
+            _packed_loop(on_bad)
+        writer.finish()
+        if man is not None:
+            man.save()
+        rep.wall_seconds = time.perf_counter() - t0
+        return _finish_cmvn_and_report(cfg, opts, rep, man, writer,
+                                       stats, stats_path, all_paths)
     with report.maybe_profile(opts.trace_dir):  # while N's results drain
         for pb in batch_lib.make_path_batches(
                 _probe(paths, cfg, on_bad, opts.resample),
@@ -671,7 +845,14 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
     if man is not None:
         man.save()  # persist probe-time quarantines even on empty runs
     rep.wall_seconds = time.perf_counter() - t0
+    return _finish_cmvn_and_report(cfg, opts, rep, man, writer, stats,
+                                   stats_path, all_paths)
 
+
+def _finish_cmvn_and_report(cfg, opts, rep, man, writer, stats,
+                            stats_path, all_paths):
+    """Shared run() tail (padded + packed loops): global CMVN reduce +
+    apply-once, then the report dump."""
     if cfg.cmvn and not (man is not None and man.cmvn_applied):
         # reduce across hosts (bytes over DCN), persist, normalize ALL
         # utterances of this host's shard — done + just-computed alike.

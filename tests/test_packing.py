@@ -143,6 +143,60 @@ def test_split_packed_features_bit_identical(rng, backend):
                                       np.asarray(want)[0, : int(wl[0])])
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("cmvn", [False, True])
+def test_runner_pack_end_to_end(tmp_path, rng, cmvn):
+    """--pack through the production runner: outputs equal the unpacked
+    run bit-for-bit (no cmvn) / to stats roundoff (cmvn); resume works;
+    corrupt + short files handled."""
+    import os
+    from mfcc_tpu import runner, FeatureConfig
+    from mfcc_tpu.utils import wav
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i in range(9):
+        x = (rng.standard_normal(int(rng.integers(6000, 30000)))
+             * 0.3).astype(np.float32)
+        wav.write_wav(d / f"u{i}.wav", x, 16000)
+    wav.write_wav(d / "tiny.wav",
+                  np.zeros(100, np.float32), 16000)   # < one frame
+    (d / "bad.wav").write_bytes(b"RIFFxxxxWAVEjunk")
+    cfg = FeatureConfig(cmvn=cmvn).validate()
+
+    ref = str(tmp_path / "ref")
+    runner.run(str(d), cfg, runner.RunnerOptions(out_dir=ref,
+                                                 batch_size=4))
+    out = str(tmp_path / "out")
+    rep = runner.run(str(d), cfg, runner.RunnerOptions(
+        out_dir=out, batch_size=4, pack=True, pack_seconds=2.5))
+    assert rep.n_utterances == 10       # 9 + tiny; bad quarantined
+    if not cmvn:
+        assert rep.max_abs_error is not None and rep.max_abs_error < 1e-4
+    for i in range(9):
+        want = np.load(os.path.join(ref, f"u{i}.npy"))
+        got = np.load(os.path.join(out, f"u{i}.npy"))
+        # 2e-5: the fake 8-device pod shards both runs' batches, and
+        # different row widths partition the GEMMs differently (the
+        # dryrun's sharded-vs-unsharded tolerance class); UNSHARDED
+        # packed-vs-standalone is bitwise — test_*_bit_identical above
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   rtol=1e-5 if cmvn else 0)
+    assert np.load(os.path.join(out, "tiny.npy")).shape[0] == 0
+    assert not os.path.exists(os.path.join(out, "bad.npy"))
+    # resume: nothing pending
+    rep2 = runner.run(str(d), cfg, runner.RunnerOptions(
+        out_dir=out, batch_size=4, pack=True, pack_seconds=2.5))
+    assert rep2.n_utterances == 0
+
+
+def test_runner_pack_guards(tmp_path):
+    from mfcc_tpu import runner, FeatureConfig
+    with pytest.raises(ValueError, match="pack"):
+        runner.run(str(tmp_path), FeatureConfig().validate(),
+                   runner.RunnerOptions(out_dir=str(tmp_path / "o"),
+                                        pack=True, pitch=True))
+
+
 def test_packed_rejects_deltas_and_center():
     x = jnp.zeros((1, 16000))
     s = jnp.zeros((1, 1), jnp.int32)
