@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -211,6 +212,76 @@ def mfcc_batch_packed_jit(x: jnp.ndarray, seg_starts: jnp.ndarray,
                           backend: str = "auto", apply_dct: bool = True):
     return mfcc_batch_packed(x, seg_starts, seg_lens, cfg, backend,
                              apply_dct)
+
+
+def mfcc_long(x: jnp.ndarray, cfg: FeatureConfig,
+              backend: str = "auto", row_frames: int = 1024,
+              apply_dct: bool = True) -> jnp.ndarray:
+    """(N,) ONE long signal -> (T, n_feats) at batch-optimal speed.
+
+    A single long row is the v5 kernel's worst shape: the wrapper's
+    parity deinterleave (pad + transpose) collapses ~7x once rows grow
+    past a few hundred thousand samples (measured r5 — see
+    docs/performance.md long-row note; the kernel itself is shape-
+    indifferent at ~565k eq-audio-sec/s).  This entry re-views the
+    signal as C overlapping rows of ``row_frames`` frames each (static
+    strided windows, one frame of left context per row — the blocked-
+    Viterbi construction applied to the spectral front end), runs the
+    normal batched pipeline, and reassembles with a reshape.
+
+    BIT-IDENTICAL to mfcc(x): rows are hop-aligned so every frame reads
+    the same samples through the same reductions; each row's first
+    in-context sample carries its true pre-emphasis predecessor (row 0
+    carries the HTK x[-1] := x[0] patch).  Deltas are applied after
+    reassembly (exact); dither is applied to the whole signal before
+    row building (positions match the unblocked pipeline); center
+    framing resolves first.
+    """
+    from ..ops import deltas as deltas_op
+    if x.dtype == jnp.int16:
+        x = x.astype(jnp.float32) * (1.0 / 32768.0)
+    x, cfg = framing.resolve_frame_mode_static(x, cfg)
+    if cfg.dither > 0.0:
+        from ..ops import dither as dither_op
+        x = dither_op.apply_jax(x, cfg)
+    want_deltas = cfg.deltas
+    cfg = cfg.replace(dither=0.0, deltas=False)
+    N = x.shape[-1]
+    T = cfg.num_frames(N)
+    fl, hop = cfg.frame_len, cfg.hop_len
+    K = row_frames
+    if T <= K + 1:
+        feat = _features_from_audio(x, cfg, backend=backend,
+                                    apply_dct=apply_dct)
+    else:
+        C = -(-T // K)
+        W = K * hop + fl                     # hop context + K-frame span
+        # xp = [zeros(hop-1) | x[0] | x]: row r starts at xp[r*K*hop];
+        # its frame slot 0 is the (dropped) previous global frame, so
+        # every kept frame's samples AND pre-emphasis predecessors are
+        # the true signal values; xp[hop-1] = x[0] is the HTK start patch
+        head = jnp.zeros((hop - 1,), x.dtype) if hop > 1 else \
+            jnp.zeros((0,), x.dtype)
+        need = (C - 1) * K * hop + W
+        tail = jnp.zeros((max(need - (N + hop), 0),), x.dtype)
+        xp = jnp.concatenate([head, x[:1], x, tail])
+        idx = (np.arange(C) * (K * hop))[:, None] \
+            + np.arange(W)[None, :]          # constant indices
+        rows = xp[idx]                       # (C, W)
+        fr = _features_from_audio(rows, cfg, backend=backend,
+                                  apply_dct=apply_dct)  # (C, K+1, F)
+        feat = fr[:, 1:, :].reshape(C * K, -1)[:T]
+    if want_deltas:
+        feat = deltas_op.append_deltas(feat, cfg)
+    return feat
+
+
+@partial(jax.jit, static_argnames=("cfg", "backend", "row_frames",
+                                   "apply_dct"))
+def mfcc_long_jit(x: jnp.ndarray, cfg: FeatureConfig,
+                  backend: str = "auto", row_frames: int = 1024,
+                  apply_dct: bool = True) -> jnp.ndarray:
+    return mfcc_long(x, cfg, backend, row_frames, apply_dct)
 
 
 @partial(jax.jit, static_argnames=("cfg", "backend"))

@@ -197,6 +197,41 @@ def test_runner_pack_guards(tmp_path):
                                         pack=True, pitch=True))
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_mfcc_long_bit_identical(rng, backend):
+    """mfcc_long (blocked single-stream front end) == mfcc, bitwise:
+    overlapping hop-aligned rows, dropped context slot, true
+    pre-emphasis predecessors, reassembly by reshape."""
+    x = (rng.standard_normal(7 * 16000 + 1234) * 0.3).astype(np.float32)
+    want = np.asarray(mfcc_model.mfcc_jit(jnp.asarray(x), CFG, backend))
+    got = np.asarray(mfcc_model.mfcc_long_jit(jnp.asarray(x), CFG,
+                                              backend, 128))
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+    # deltas applied after reassembly (exact), dither positions match
+    cfg_d = CFG.replace(deltas=True, dither=1.0 / 32768.0).validate()
+    want = np.asarray(mfcc_model.mfcc_jit(jnp.asarray(x), cfg_d, backend))
+    got = np.asarray(mfcc_model.mfcc_long_jit(jnp.asarray(x), cfg_d,
+                                              backend, 128))
+    np.testing.assert_array_equal(got, want)
+    # short-signal fallback hits the plain path
+    xs = x[:8000]
+    np.testing.assert_array_equal(
+        np.asarray(mfcc_model.mfcc_long_jit(jnp.asarray(xs), CFG,
+                                            backend, 128)),
+        np.asarray(mfcc_model.mfcc_jit(jnp.asarray(xs), CFG, backend)))
+
+
+def test_mfcc_long_center_mode(rng):
+    """Center framing resolves before row-blocking (exact)."""
+    cfg = FeatureConfig(frame_mode="center").validate()
+    x = (rng.standard_normal(5 * 16000) * 0.3).astype(np.float32)
+    want = np.asarray(mfcc_model.mfcc_jit(jnp.asarray(x), cfg))
+    got = np.asarray(mfcc_model.mfcc_long_jit(jnp.asarray(x), cfg,
+                                              "auto", 128))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_packed_rejects_deltas_and_center():
     x = jnp.zeros((1, 16000))
     s = jnp.zeros((1, 1), jnp.int32)
