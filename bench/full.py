@@ -125,6 +125,60 @@ def main():
                 "headline measures the same program on full-length "
                 "utterances (425k r3)"}
 
+    # config 2b (r5): SPLIT-PACKED ragged — same length distribution,
+    # utterances split across rows at frame boundaries so the (B, n)
+    # program's rows fill to ~100% (utils/batch.pack_rows_split +
+    # mfcc_batch_packed; per-piece features bit-identical to standalone,
+    # tests/test_packing.py; full A/B in bench/ab_pack.json)
+    from mfcc_tpu.utils import batch as batch_lib
+    stream = [(i, int(lengths[i % B])) for i in range(4 * B)]
+    rows_s = list(batch_lib.pack_rows_split(
+        stream, capacity=n, hop=cfg.hop_len,
+        frame_len=cfg.frame_len))[:B]
+    Ss = max(len(r.segments) for r in rows_s)
+    xs_p = np.zeros((B, n), np.float32)
+    starts_s = np.zeros((B, Ss), np.int32)
+    lens_s = np.zeros((B, Ss), np.int32)
+    real = 0
+    for bb, row in enumerate(rows_s):
+        sig_p, st, ln, pcs = batch_lib.pack_audio_split(
+            row, lambda uid: np.tile(base, -(-int(lengths[uid % B]) // n)
+                                     )[: int(lengths[uid % B])])
+        xs_p[bb] = sig_p
+        starts_s[bb, : len(st)], lens_s[bb, : len(ln)] = st, ln
+        real += sum(pc.n_frames for pc in pcs) * cfg.hop_len
+    xsd = jax.device_put(jnp.asarray(xs_p), dev)
+    stsd = jax.device_put(jnp.asarray(starts_s), dev)
+    lnsd = jax.device_put(jnp.asarray(lens_s), dev)
+    # scan_timed closes over `ad`; time the packed pipe on its own input
+    def scan_timed_on(pipe, x0):
+        def g():
+            def body(carry, _):
+                out = pipe(x0 + carry)
+                return (out.ravel()[0] * jnp.float32(1e-30)).astype(
+                    x0.dtype), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), x0.dtype), None,
+                                length=SCAN)
+            return c
+        gj = jax.jit(g)
+        np.asarray(gj())
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = gj()
+        np.asarray(out)
+        return (time.perf_counter() - t0) / (iters * SCAN)
+
+    dtp2 = scan_timed_on(lambda x: mfcc_model.mfcc_batch_packed(
+        x, stsd, lnsd, cfg)[0], xsd)
+    results["config2b_packed_mfcc13"] = {
+        "real_audio_sec_per_s": (real / sr) / dtp2,
+        "fill_frames_x_hop": real / (B * n),
+        "protocol": "scan-carry-v2",
+        "note": "split-packed rows at the headline (B, n) shape: the "
+                "ragged corpus utilization recovery (VERDICT r4 #1; "
+                "A/B receipts in bench/ab_pack.json)"}
+
     # config 3: log-mel-80 + deltas (scan protocol).  Accuracy reported
     # for the plain definition AND with an 80 dB dynamic-range floor:
     # unbounded-range log of near-cancelled spectral valleys is not

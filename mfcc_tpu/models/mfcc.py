@@ -262,12 +262,16 @@ def mfcc_long(x: jnp.ndarray, cfg: FeatureConfig,
         # the true signal values; xp[hop-1] = x[0] is the HTK start patch
         head = jnp.zeros((hop - 1,), x.dtype) if hop > 1 else \
             jnp.zeros((0,), x.dtype)
-        need = (C - 1) * K * hop + W
+        need = C * K * hop + W               # base block + ctx coverage
         tail = jnp.zeros((max(need - (N + hop), 0),), x.dtype)
         xp = jnp.concatenate([head, x[:1], x, tail])
-        idx = (np.arange(C) * (K * hop))[:, None] \
-            + np.arange(W)[None, :]          # constant indices
-        rows = xp[idx]                       # (C, W)
+        # rows via static reshape + shifted slice, NO gather (a (C, W)
+        # constant-index gather measured 8.7k audio-sec/s on TPU — the
+        # same pathology as the chunked-NCCF assembly): row r =
+        # [base block r | first frame_len samples of block r+1]
+        base_b = xp[: C * K * hop].reshape(C, K * hop)
+        ctx = xp[K * hop: (C + 1) * K * hop].reshape(C, K * hop)[:, :fl]
+        rows = jnp.concatenate([base_b, ctx], axis=1)     # (C, W)
         fr = _features_from_audio(rows, cfg, backend=backend,
                                   apply_dct=apply_dct)  # (C, K+1, F)
         feat = fr[:, 1:, :].reshape(C * K, -1)[:T]

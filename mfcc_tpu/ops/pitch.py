@@ -236,28 +236,41 @@ def _nccf_chunked(xw: jnp.ndarray, pcfg: PitchConfig, mask: jnp.ndarray,
     """Chunked NCCF: fold time chunks of K frames into the batch axis —
     (B, Nw) signal -> (B*C, span) rows -> reassembled (B, T, n_lags).
 
-    The long-form lever (VERDICT r4 #2, same shape as blocked Viterbi's
-    lane fill): a B=1 stream leaves the NCCF kernel's batch dimension
-    empty; C = ceil(T/K) hop-aligned chunks fill it.  Frames are
-    bit-identical to the unchunked dispatch on the valid region (chunk
-    starts are hop multiples, so every frame reads the same samples and
-    runs the same per-frame GEMM reductions); the ballast uses the
-    GLOBAL masked mean energy broadcast per chunk (wrapper-side
-    convention, equal to the unchunked XLA path up to f32 summation
-    order in the mean)."""
+    MEASURED NEGATIVE on TPU (bench/ab_longform.json, r5): 32.5k vs
+    325k audio-sec/s for the unchunked kernel at B=1 x 6 min — the NCCF
+    kernel's grid already fills from the TIME axis (frames tile the
+    grid regardless of batch), so chunking only adds the (B*C, span)
+    assembly, which hits the same long-row relayout pathology the
+    spectral wrapper has (docs/performance.md long-row note).  Kept as
+    an opt-in because the construction is exact and the CPU/XLA path
+    measures 2.3x FASTER chunked (the XLA gather covers fewer
+    elements); the auto paths never use it.
+
+    Frames are bit-identical to the unchunked dispatch on the valid
+    region (chunk starts are hop multiples, so every frame reads the
+    same samples and runs the same per-frame GEMM reductions); the
+    ballast uses the GLOBAL masked mean energy broadcast per chunk
+    (wrapper-side convention, equal to the unchunked XLA path up to f32
+    summation order in the mean)."""
     B, Nw = xw.shape
     T = mask.shape[1]
     w, hop = pcfg.frame_len_w, pcfg.hop_len_w
     span = (K - 1) * hop + w + pcfg.max_lag
     C = -(-T // K)
-    need = (C - 1) * K * hop + span
+    stride = K * hop
+    need = (C + 1) * stride                  # base blocks + ctx coverage
     if Nw < need:
         xw_p = jnp.concatenate(
             [xw, jnp.zeros((B, need - Nw), xw.dtype)], axis=-1)
     else:
-        xw_p = xw
-    idx = (np.arange(C) * (K * hop))[:, None] + np.arange(span)[None, :]
-    xc = xw_p[:, idx].reshape(B * C, span)          # static-index gather
+        xw_p = xw[:, :need] if Nw > need else xw
+    # chunk rows via static reshape + shifted slice, NO gather (a
+    # (C, span) constant-index gather was the first implementation's
+    # 10x TPU slowdown): row c = [base block c | head of block c+1]
+    base = xw_p[:, : C * stride].reshape(B, C, stride)
+    ctx = xw_p[:, stride: (C + 1) * stride].reshape(
+        B, C, stride)[:, :, : span - stride]
+    xc = jnp.concatenate([base, ctx], axis=-1).reshape(B * C, span)
     flens = mask.sum(axis=1).astype(jnp.int32)      # (B,)
     g = jnp.asarray((np.arange(C) * K)[:, None] + np.arange(K)[None, :])
     mask_c = (g[None, :, :] < flens[:, None, None]).reshape(B * C, K)
@@ -496,8 +509,10 @@ def pitch_features(x: jnp.ndarray, lengths: jnp.ndarray,
     viterbi_block: opt-in blocked Viterbi (see `viterbi_blocked`) —
     execution strategy, near-exact, measured in tests/test_pitch.py.
     nccf_chunk: opt-in chunked NCCF (see `_nccf_chunked`) — K frames per
-    chunk folded into the batch axis; bit-identical frames, the B=1
-    long-form throughput lever (pair with viterbi_block)."""
+    chunk folded into the batch axis; bit-identical frames.  NOTE: a
+    measured NEGATIVE on TPU (10x slower than the unchunked kernel,
+    bench/ab_longform.json — see _nccf_chunked docstring); useful only
+    on the CPU/XLA path."""
     B, N = x.shape
     T = pcfg.num_frames(N)
     if T <= 0:
