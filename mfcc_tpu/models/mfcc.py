@@ -113,10 +113,24 @@ def _features_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
     return feat
 
 
+# Single-utterance auto route: signals longer than this many frames go
+# through the blocked mfcc_long construction when the kernel path is
+# resolved (bit-identical; a single long row hits the wrapper's
+# long-row relayout pathology — measured at B=1 x 6 min on v5e:
+# single-row kernel 66.9k vs mfcc_long 340.5k audio-sec/s,
+# docs/performance.md "Long-row shapes").  4096 frames (~41 s) is a
+# conservative threshold: the pathology ramps from ~20 s rows.
+LONG_ROUTE_FRAMES = 4096
+
+
 def mfcc(x: jnp.ndarray, cfg: FeatureConfig,
          backend: str = "auto") -> jnp.ndarray:
     """(n_samples,) PCM in [-1, 1] -> (T, n_feats) features."""
     x, cfg = framing.resolve_frame_mode_static(x, cfg)
+    if (x.ndim == 1
+            and backend_lib.resolve(backend, cfg) == "pallas"
+            and cfg.num_frames(x.shape[-1]) > LONG_ROUTE_FRAMES):
+        return mfcc_long(x, cfg, backend)
     return _features_from_audio(x, cfg, backend=backend)
 
 
@@ -215,7 +229,7 @@ def mfcc_batch_packed_jit(x: jnp.ndarray, seg_starts: jnp.ndarray,
 
 
 def mfcc_long(x: jnp.ndarray, cfg: FeatureConfig,
-              backend: str = "auto", row_frames: int = 1024,
+              backend: str = "auto", row_frames: int = 511,
               apply_dct: bool = True) -> jnp.ndarray:
     """(N,) ONE long signal -> (T, n_feats) at batch-optimal speed.
 
@@ -236,6 +250,13 @@ def mfcc_long(x: jnp.ndarray, cfg: FeatureConfig,
     reassembly (exact); dither is applied to the whole signal before
     row building (positions match the unblocked pipeline); center
     framing resolves first.
+
+    row_frames sweep on v5e at B=1 x 6 min (r5 session): 127: 289.3k,
+    255: 304.4k, 383: 337.3k, **511: 340.5k (default)**, 1023: 235.5k,
+    2047: 132.1k audio-sec/s — vs 66.9k for the single long row and
+    291.5k for the XLA hop-block path.  Keep row_frames + 1 a multiple
+    of the kernel's 1024-frame tile divisor family (the K+1-frame rows
+    must not straddle a tile: rf=1024 computed 2048 frames/row).
     """
     from ..ops import deltas as deltas_op
     if x.dtype == jnp.int16:

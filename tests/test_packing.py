@@ -222,6 +222,31 @@ def test_mfcc_long_bit_identical(rng, backend):
         np.asarray(mfcc_model.mfcc_jit(jnp.asarray(xs), CFG, backend)))
 
 
+def test_mfcc_auto_routes_long_single(rng, monkeypatch):
+    """Single-utterance kernel route: signals past LONG_ROUTE_FRAMES go
+    through the blocked construction (bit-identical, so the assertion
+    is on the routing itself + value equality)."""
+    monkeypatch.setattr(mfcc_model, "LONG_ROUTE_FRAMES", 100)
+    called = {}
+    orig = mfcc_model.mfcc_long
+
+    def spy(*a, **k):
+        called["routed"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(mfcc_model, "mfcc_long", spy)
+    x = (rng.standard_normal(3 * 16000) * 0.3).astype(np.float32)
+    got = np.asarray(mfcc_model.mfcc(jnp.asarray(x), CFG, "pallas"))
+    assert called.get("routed")
+    want = np.asarray(orig(jnp.asarray(x), CFG, "pallas"))
+    np.testing.assert_array_equal(got, want)
+    # short signals and explicit xla stay on the plain path
+    called.clear()
+    mfcc_model.mfcc(jnp.asarray(x[:16000]), CFG, "pallas")
+    mfcc_model.mfcc(jnp.asarray(x), CFG, "xla")
+    assert not called
+
+
 def test_mfcc_long_center_mode(rng):
     """Center framing resolves before row-blocking (exact)."""
     cfg = FeatureConfig(frame_mode="center").validate()
