@@ -41,9 +41,16 @@ def log_mel_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
     x, sample_lengths, cfg = framing.resolve_frame_mode(
         x, sample_lengths, cfg)
     flens = frame_lengths(sample_lengths, cfg)
-    feat = _features_from_audio(x, cfg,
-                                lengths=flens if cfg.deltas else None,
-                                backend=backend, apply_dct=False)
+    from .. import backend as backend_lib
+    from . import mfcc as mfcc_mod
+    if (backend_lib.resolve(backend, cfg) == "pallas"
+            and cfg.num_frames(x.shape[-1]) > mfcc_mod.LONG_ROUTE_FRAMES):
+        feat = mfcc_mod._blocked_from_audio(
+            x, cfg, flens if cfg.deltas else None, backend, False)
+    else:
+        feat = _features_from_audio(x, cfg,
+                                    lengths=flens if cfg.deltas else None,
+                                    backend=backend, apply_dct=False)
     mask = frame_mask(feat.shape[-2], flens)
     feat = jnp.where(mask[..., None], feat, 0.0)
     return feat, flens, mask

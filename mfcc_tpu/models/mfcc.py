@@ -113,14 +113,56 @@ def _features_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
     return feat
 
 
-# Single-utterance auto route: signals longer than this many frames go
-# through the blocked mfcc_long construction when the kernel path is
-# resolved (bit-identical; a single long row hits the wrapper's
-# long-row relayout pathology — measured at B=1 x 6 min on v5e:
-# single-row kernel 66.9k vs mfcc_long 340.5k audio-sec/s,
-# docs/performance.md "Long-row shapes").  4096 frames (~41 s) is a
-# conservative threshold: the pathology ramps from ~20 s rows.
+# Auto route: signals longer than this many frames go through the
+# blocked row construction when the kernel path is resolved
+# (bit-identical; long rows hit the wrapper's long-row relayout
+# pathology — measured at B=1 x 6 min on v5e: single-row kernel 66.9k
+# vs blocked 340.5k audio-sec/s, docs/performance.md "Long-row
+# shapes").  4096 frames (~41 s) is a conservative threshold: the
+# pathology ramps from ~20 s rows.
 LONG_ROUTE_FRAMES = 4096
+_LONG_ROW_FRAMES = 511     # measured winner; K+1 must not straddle tiles
+
+
+def _blocked_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
+                        lengths: jnp.ndarray | None,
+                        backend: str, apply_dct: bool,
+                        row_frames: int = _LONG_ROW_FRAMES) -> jnp.ndarray:
+    """(B, N) -> (B, T, F) via overlapping K-frame rows (B*C, W) — the
+    long-row workaround shared by mfcc_long and the batched auto route.
+    Bit-identical to _features_from_audio: hop-aligned rows (static
+    reshape + shifted-slice concat, NO gather), one dropped context slot
+    per row, true pre-emphasis predecessors (row 0 of each signal
+    carries the HTK x[-1] := x[0] patch), dither before blocking,
+    deltas after reassembly.  cfg must be valid-mode."""
+    from ..ops import deltas as deltas_op
+    if cfg.dither > 0.0:
+        from ..ops import dither as dither_op
+        x = dither_op.apply_jax(x, cfg)
+        cfg = cfg.replace(dither=0.0)
+    want_deltas = cfg.deltas
+    cfg = cfg.replace(deltas=False)
+    B, N = x.shape
+    T = cfg.num_frames(N)
+    fl, hop = cfg.frame_len, cfg.hop_len
+    K = row_frames
+    C = -(-T // K)
+    W = K * hop + fl
+    head = jnp.zeros((B, hop - 1), x.dtype)
+    need = C * K * hop + W
+    tail = jnp.zeros((B, max(need - (N + hop), 0)), x.dtype)
+    xp = jnp.concatenate([head, x[:, :1], x, tail], axis=1)
+    base_b = xp[:, : C * K * hop].reshape(B, C, K * hop)
+    ctx = xp[:, K * hop: (C + 1) * K * hop].reshape(
+        B, C, K * hop)[:, :, :fl]
+    rows = jnp.concatenate([base_b, ctx], axis=-1).reshape(B * C, W)
+    fr = _features_from_audio(rows, cfg, backend=backend,
+                              apply_dct=apply_dct)      # (B*C, K+1, F)
+    feat = (fr.reshape(B, C, K + 1, -1)[:, :, 1:, :]
+              .reshape(B, C * K, -1)[:, :T])
+    if want_deltas:
+        feat = deltas_op.append_deltas(feat, cfg, lengths)
+    return feat
 
 
 def mfcc(x: jnp.ndarray, cfg: FeatureConfig,
@@ -166,9 +208,16 @@ def mfcc_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
     x, sample_lengths, cfg = framing.resolve_frame_mode(
         x, sample_lengths, cfg)
     flens = frame_lengths(sample_lengths, cfg)
-    feat = _features_from_audio(x, cfg,
-                                lengths=flens if cfg.deltas else None,
-                                backend=backend)
+    if (backend_lib.resolve(backend, cfg) == "pallas"
+            and cfg.num_frames(x.shape[-1]) > LONG_ROUTE_FRAMES):
+        # long buckets: the blocked row construction (bit-identical;
+        # see _blocked_from_audio / docs/performance.md long-row note)
+        feat = _blocked_from_audio(
+            x, cfg, flens if cfg.deltas else None, backend, True)
+    else:
+        feat = _features_from_audio(x, cfg,
+                                    lengths=flens if cfg.deltas else None,
+                                    backend=backend)
     mask = frame_mask(feat.shape[-2], flens)
     feat = jnp.where(mask[..., None], feat, 0.0)
     return feat, flens, mask
@@ -258,47 +307,19 @@ def mfcc_long(x: jnp.ndarray, cfg: FeatureConfig,
     of the kernel's 1024-frame tile divisor family (the K+1-frame rows
     must not straddle a tile: rf=1024 computed 2048 frames/row).
     """
-    from ..ops import deltas as deltas_op
     if x.dtype == jnp.int16:
         x = x.astype(jnp.float32) * (1.0 / 32768.0)
     x, cfg = framing.resolve_frame_mode_static(x, cfg)
-    if cfg.dither > 0.0:
-        from ..ops import dither as dither_op
-        x = dither_op.apply_jax(x, cfg)
-    want_deltas = cfg.deltas
-    cfg = cfg.replace(dither=0.0, deltas=False)
-    N = x.shape[-1]
-    T = cfg.num_frames(N)
-    fl, hop = cfg.frame_len, cfg.hop_len
-    K = row_frames
-    if T <= K + 1:
-        feat = _features_from_audio(x, cfg, backend=backend,
-                                    apply_dct=apply_dct)
-    else:
-        C = -(-T // K)
-        W = K * hop + fl                     # hop context + K-frame span
-        # xp = [zeros(hop-1) | x[0] | x]: row r starts at xp[r*K*hop];
-        # its frame slot 0 is the (dropped) previous global frame, so
-        # every kept frame's samples AND pre-emphasis predecessors are
-        # the true signal values; xp[hop-1] = x[0] is the HTK start patch
-        head = jnp.zeros((hop - 1,), x.dtype) if hop > 1 else \
-            jnp.zeros((0,), x.dtype)
-        need = C * K * hop + W               # base block + ctx coverage
-        tail = jnp.zeros((max(need - (N + hop), 0),), x.dtype)
-        xp = jnp.concatenate([head, x[:1], x, tail])
-        # rows via static reshape + shifted slice, NO gather (a (C, W)
-        # constant-index gather measured 8.7k audio-sec/s on TPU — the
-        # same pathology as the chunked-NCCF assembly): row r =
-        # [base block r | first frame_len samples of block r+1]
-        base_b = xp[: C * K * hop].reshape(C, K * hop)
-        ctx = xp[K * hop: (C + 1) * K * hop].reshape(C, K * hop)[:, :fl]
-        rows = jnp.concatenate([base_b, ctx], axis=1)     # (C, W)
-        fr = _features_from_audio(rows, cfg, backend=backend,
-                                  apply_dct=apply_dct)  # (C, K+1, F)
-        feat = fr[:, 1:, :].reshape(C * K, -1)[:T]
-    if want_deltas:
-        feat = deltas_op.append_deltas(feat, cfg)
-    return feat
+    if cfg.num_frames(x.shape[-1]) <= row_frames + 1:
+        from ..ops import deltas as deltas_op
+        want_deltas = cfg.deltas
+        feat = _features_from_audio(x, cfg.replace(deltas=False),
+                                    backend=backend, apply_dct=apply_dct)
+        if want_deltas:
+            feat = deltas_op.append_deltas(feat, cfg)
+        return feat
+    return _blocked_from_audio(x[None], cfg, None, backend, apply_dct,
+                               row_frames)[0]
 
 
 @partial(jax.jit, static_argnames=("cfg", "backend", "row_frames",

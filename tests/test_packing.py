@@ -247,6 +247,39 @@ def test_mfcc_auto_routes_long_single(rng, monkeypatch):
     assert not called
 
 
+def test_batched_long_route_bit_identical(rng, monkeypatch):
+    """The batched blocked route (long buckets) equals the plain batch
+    path bitwise, ragged lengths and deltas included."""
+    monkeypatch.setattr(mfcc_model, "LONG_ROUTE_FRAMES", 100)
+    from mfcc_tpu.models import logmel as logmel_model
+    lens = [40000, 33000, 17000]
+    xb = np.zeros((3, 40000), np.float32)
+    for i, L in enumerate(lens):
+        xb[i, :L] = (rng.standard_normal(L) * 0.3).astype(np.float32)
+    for cfg in (CFG, CFG.replace(deltas=True).validate()):
+        want, wl, wm = mfcc_model.mfcc_batch(
+            jnp.asarray(xb), jnp.asarray(lens, np.int32), cfg, "xla")
+        got, gl, gm = mfcc_model.mfcc_batch(
+            jnp.asarray(xb), jnp.asarray(lens, np.int32), cfg, "pallas")
+        np.testing.assert_array_equal(np.asarray(gl), np.asarray(wl))
+        # pallas==xla only within kernel envelope; the BLOCKED-route
+        # bitwise claim is pallas-blocked vs pallas-plain:
+        monkeypatch.setattr(mfcc_model, "LONG_ROUTE_FRAMES", 10**9)
+        plain, pl_, _ = mfcc_model.mfcc_batch(
+            jnp.asarray(xb), jnp.asarray(lens, np.int32), cfg, "pallas")
+        monkeypatch.setattr(mfcc_model, "LONG_ROUTE_FRAMES", 100)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(plain))
+    # log-mel batch twin
+    lcfg = FeatureConfig(n_mels=40, n_mfcc=40,
+                         dynamic_range_db=50.0).validate()
+    got = logmel_model.log_mel_batch(
+        jnp.asarray(xb), jnp.asarray(lens, np.int32), lcfg, "pallas")[0]
+    monkeypatch.setattr(mfcc_model, "LONG_ROUTE_FRAMES", 10**9)
+    plain = logmel_model.log_mel_batch(
+        jnp.asarray(xb), jnp.asarray(lens, np.int32), lcfg, "pallas")[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(plain))
+
+
 def test_mfcc_long_center_mode(rng):
     """Center framing resolves before row-blocking (exact)."""
     cfg = FeatureConfig(frame_mode="center").validate()
