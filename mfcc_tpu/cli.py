@@ -41,9 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "fill to ~100%% on ragged corpora (the padded "
                         "slack carries real audio) and long utterances "
                         "stream through fixed rows untruncated.  Plain "
-                        "MFCC/log-mel (+ global --cmvn) only; "
-                        "per-piece features are bit-identical to the "
-                        "unpacked pipeline (docs/performance.md)")
+                        "MFCC/log-mel/PLP/spectrogram (+ global "
+                        "--cmvn); per-piece features are bit-identical "
+                        "to the unpacked pipeline (docs/performance.md)")
     p.add_argument("--pack-seconds", type=float, default=10.0,
                    help="packed row capacity in seconds")
 

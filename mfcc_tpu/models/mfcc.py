@@ -225,7 +225,8 @@ def mfcc_batch(x: jnp.ndarray, sample_lengths: jnp.ndarray,
 
 def mfcc_batch_packed(x: jnp.ndarray, seg_starts: jnp.ndarray,
                       seg_lens: jnp.ndarray, cfg: FeatureConfig,
-                      backend: str = "auto", apply_dct: bool = True):
+                      backend: str = "auto", apply_dct: bool = True,
+                      family: str | None = None):
     """Packed ragged batch (utils/batch.pack_rows; VERDICT r4 #1):
     several utterances per row at hop-aligned offsets, so the padded
     program's slack carries real audio instead of zeros.
@@ -248,6 +249,10 @@ def mfcc_batch_packed(x: jnp.ndarray, seg_starts: jnp.ndarray,
     dithered packed run differs from a dithered standalone run by the
     noise draw (statistically equivalent; parity tests use dither=0).
     """
+    if family is None:
+        family = "mfcc" if apply_dct else "logmel"
+    if family not in ("mfcc", "logmel", "plp", "spec"):
+        raise ValueError(f"unknown packed family {family!r}")
     if cfg.deltas:
         raise ValueError("packed batches: apply deltas per utterance "
                          "after splitting (the delta recursion would leak "
@@ -256,8 +261,15 @@ def mfcc_batch_packed(x: jnp.ndarray, seg_starts: jnp.ndarray,
         raise ValueError("packed batches support frame_mode='valid' only")
     if x.dtype == jnp.int16:
         x = x.astype(jnp.float32) * (1.0 / 32768.0)
-    feat = _features_from_audio(x, cfg, backend=backend,
-                                apply_dct=apply_dct)
+    if family == "spec":
+        from . import spectrogram as spec_model
+        feat = spec_model.log_spectrogram(x, cfg, backend)
+    elif family == "plp":
+        from . import plp as plp_model
+        feat = plp_model._plp_from_audio(x, cfg, backend=backend)
+    else:
+        feat = _features_from_audio(x, cfg, backend=backend,
+                                    apply_dct=(family == "mfcc"))
     T = feat.shape[-2]
     hop = cfg.hop_len
     f0 = seg_starts.astype(jnp.int32) // hop                    # (B, S)
@@ -269,12 +281,14 @@ def mfcc_batch_packed(x: jnp.ndarray, seg_starts: jnp.ndarray,
     return feat, f0, fc, mask
 
 
-@partial(jax.jit, static_argnames=("cfg", "backend", "apply_dct"))
+@partial(jax.jit, static_argnames=("cfg", "backend", "apply_dct",
+                                   "family"))
 def mfcc_batch_packed_jit(x: jnp.ndarray, seg_starts: jnp.ndarray,
                           seg_lens: jnp.ndarray, cfg: FeatureConfig,
-                          backend: str = "auto", apply_dct: bool = True):
+                          backend: str = "auto", apply_dct: bool = True,
+                          family: str | None = None):
     return mfcc_batch_packed(x, seg_starts, seg_lens, cfg, backend,
-                             apply_dct)
+                             apply_dct, family)
 
 
 def mfcc_long(x: jnp.ndarray, cfg: FeatureConfig,

@@ -170,11 +170,13 @@ class RunnerOptions:
                                       # split): rows fill to ~100% on
                                       # ragged corpora and arbitrarily
                                       # long utterances stream through
-                                      # fixed rows.  MFCC/log-mel only;
-                                      # incompatible with the per-row
-                                      # post chain (pitch/cmvn-sliding/
-                                      # online/splice/vad), deltas,
-                                      # center framing, and --resample.
+                                      # fixed rows.  All four frame-
+                                      # local families (MFCC/log-mel/
+                                      # PLP/spectrogram); incompatible
+                                      # with the per-row post chain
+                                      # (pitch/cmvn-sliding/online/
+                                      # splice/vad), deltas, center
+                                      # framing, and --resample.
     pack_seconds: float = 10.0        # packed row capacity (seconds)
     vad: bool = False                 # append a 0/1 energy-VAD column
                                       # (ops/post.energy_vad on the frame
@@ -484,7 +486,6 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
             "in a separate pass)")
     if opts.pack:
         bad = [nm for nm, on in (
-            ("plp", opts.plp), ("spectrogram", opts.spectrogram),
             ("pitch", opts.pitch), ("cmvn_sliding", opts.cmvn_sliding),
             ("cmvn_online", opts.cmvn_online), ("splice", opts.splice),
             ("vad", opts.vad), ("deltas", cfg.deltas),
@@ -492,10 +493,11 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
             ("frame_mode=center", cfg.frame_mode != "valid")) if on]
         if bad:
             raise ValueError(
-                f"pack supports plain MFCC/log-mel extraction only "
-                f"(optionally with global --cmvn); incompatible with: "
-                f"{', '.join(bad)} (per-row post-processing and "
-                f"time-recursive stages cannot cross segment boundaries)")
+                f"pack supports plain feature extraction (MFCC/log-mel/"
+                f"PLP/spectrogram, optionally with global --cmvn); "
+                f"incompatible with: {', '.join(bad)} (per-row "
+                f"post-processing and time-recursive stages cannot cross "
+                f"segment boundaries)")
     os.makedirs(opts.out_dir, exist_ok=True)
     rep = report.RunReport(
         config_hash=cfg.config_hash(),
@@ -686,7 +688,10 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
                                  / hop)), -(-fl // hop)) * hop
         # worst-case pieces per row: 1-frame pieces stride fl+hop-aligned
         s_max = capacity // ((-(-fl // hop)) * hop + hop) + 2
-        n_out = cfg.n_mels if opts.logmel else cfg.n_mfcc
+        family = ("spec" if opts.spectrogram else "plp" if opts.plp
+                  else "logmel" if opts.logmel else "mfcc")
+        n_out = (cfg.n_bins if opts.spectrogram
+                 else cfg.n_mels if opts.logmel else cfg.n_mfcc)
         sr = cfg.sample_rate
         cache: dict = {}        # uid -> decoded f32 signal
         bad_uids: set = set()
@@ -754,11 +759,21 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
             rep.n_utterances += 1
             rep.audio_seconds += len(sig) / sr
             if not checked[0] and not cfg.cmvn and feat_u.shape[0]:
-                ref_fn = oracle.log_mel if opts.logmel else oracle.mfcc
+                ref_fn = (oracle.log_mel if opts.logmel
+                          else oracle.plp if opts.plp
+                          else oracle.log_spectrogram if opts.spectrogram
+                          else oracle.mfcc)
                 want = ref_fn(sig.astype(np.float64), cfg)
                 if want.shape[0]:
-                    rep.max_abs_error = float(
-                        np.abs(feat_u[: want.shape[0]] - want).max())
+                    diff = np.abs(feat_u[: want.shape[0]] - want)
+                    if opts.spectrogram:
+                        # the family's 50 dB-window contract quantity
+                        # (same rule as the padded path's self-check)
+                        keep = want > (want.max(axis=1, keepdims=True)
+                                       - np.log(10.0 ** 5))
+                        rep.max_abs_error = float(diff[keep].max())
+                    else:
+                        rep.max_abs_error = float(diff.max())
                     checked[0] = True
             if cfg.cmvn:
                 stats = stats.merge(_host_batch_stats(
@@ -793,7 +808,6 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
                         man.set_cmvn(*stats)
                     man.save()
 
-        apply_dct = not opts.logmel
         in_flight = None
         for rows in batches():
             with report.stage_timer(rep, "decode"):
@@ -802,7 +816,7 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
                 a_dev, _ = _to_device(x, lens[:, 0])
                 feat, f0, fc, _m = mfcc_model.mfcc_batch_packed_jit(
                     a_dev, jnp.asarray(starts), jnp.asarray(lens), cfg,
-                    opts.backend, apply_dct)
+                    opts.backend, family=family)
             if in_flight is not None:
                 write_packed(*in_flight)
             in_flight = (kept, feat, f0, fc)

@@ -189,6 +189,43 @@ def test_runner_pack_end_to_end(tmp_path, rng, cmvn):
     assert rep2.n_utterances == 0
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("flag, tol", [("plp", 2e-5), ("spectrogram", 2e-4)])
+def test_runner_pack_plp_spectrogram(tmp_path, rng, flag, tol):
+    """--pack extends to the PLP and spectrogram families (frame-local
+    back halves): packed outputs equal the unpacked runner's at the
+    fake-pod sharding tolerance (spectrogram under the family's 50 dB
+    window rule)."""
+    import os
+    from mfcc_tpu import runner, FeatureConfig
+    from mfcc_tpu.utils import wav
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i in range(5):
+        x = (rng.standard_normal(int(rng.integers(9000, 26000)))
+             * 0.3).astype(np.float32)
+        wav.write_wav(d / f"u{i}.wav", x, 16000)
+    cfg = FeatureConfig().validate()
+    kw = {flag: True}
+    ref = str(tmp_path / "ref")
+    runner.run(str(d), cfg, runner.RunnerOptions(out_dir=ref,
+                                                 batch_size=4, **kw))
+    out = str(tmp_path / "out")
+    rep = runner.run(str(d), cfg, runner.RunnerOptions(
+        out_dir=out, batch_size=4, pack=True, pack_seconds=2.0, **kw))
+    assert rep.n_utterances == 5
+    for i in range(5):
+        want = np.load(os.path.join(ref, f"u{i}.npy"))
+        got = np.load(os.path.join(out, f"u{i}.npy"))
+        assert got.shape == want.shape
+        if flag == "spectrogram":
+            keep = want > (want.max(axis=1, keepdims=True)
+                           - np.log(10.0 ** 5))
+            assert np.abs((got - want)[keep]).max() < tol
+        else:
+            np.testing.assert_allclose(got, want, atol=tol)
+
+
 def test_runner_pack_guards(tmp_path):
     from mfcc_tpu import runner, FeatureConfig
     with pytest.raises(ValueError, match="pack"):
