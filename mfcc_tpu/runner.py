@@ -686,8 +686,10 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
         hop, fl = cfg.hop_len, cfg.frame_len
         capacity = max(int(round(opts.pack_seconds * cfg.sample_rate
                                  / hop)), -(-fl // hop)) * hop
-        # worst-case pieces per row: 1-frame pieces stride fl+hop-aligned
-        s_max = capacity // ((-(-fl // hop)) * hop + hop) + 2
+        # worst-case pieces per row: 1-frame pieces (span = fl) at
+        # hop-aligned starts with a >=1-sample gap -> minimum start
+        # spacing is the next hop multiple past fl, ceil((fl+1)/hop)*hop
+        s_max = capacity // ((-(-(fl + 1) // hop)) * hop) + 2
         family = ("spec" if opts.spectrogram else "plp" if opts.plp
                   else "logmel" if opts.logmel else "mfcc")
         n_out = (cfg.n_bins if opts.spectrogram

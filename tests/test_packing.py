@@ -226,6 +226,29 @@ def test_runner_pack_plp_spectrogram(tmp_path, rng, flag, tol):
             np.testing.assert_allclose(got, want, atol=tol)
 
 
+@pytest.mark.slow
+def test_runner_pack_many_tiny_utterances(tmp_path, rng):
+    """Stress the per-row segment bound: a corpus of near-minimal
+    (1-3 frame) utterances packs at the worst-case piece density."""
+    import os
+    from mfcc_tpu import runner, FeatureConfig
+    from mfcc_tpu.utils import wav
+    d = tmp_path / "corpus"
+    d.mkdir()
+    n = 60
+    for i in range(n):
+        L = int(rng.integers(400, 500))
+        x = (rng.standard_normal(L) * 0.3).astype(np.float32)
+        wav.write_wav(d / f"t{i:03d}.wav", x, 16000)
+    cfg = FeatureConfig().validate()
+    out = str(tmp_path / "out")
+    rep = runner.run(str(d), cfg, runner.RunnerOptions(
+        out_dir=out, batch_size=2, pack=True, pack_seconds=1.0))
+    assert rep.n_utterances == n
+    files = [f for f in os.listdir(out) if f.endswith(".npy")]
+    assert len(files) == n
+
+
 def test_runner_pack_guards(tmp_path):
     from mfcc_tpu import runner, FeatureConfig
     with pytest.raises(ValueError, match="pack"):
