@@ -267,6 +267,12 @@ def mfcc_batch_packed(x: jnp.ndarray, seg_starts: jnp.ndarray,
     elif family == "plp":
         from . import plp as plp_model
         feat = plp_model._plp_from_audio(x, cfg, backend=backend)
+    elif (backend_lib.resolve(backend, cfg) == "pallas"
+          and cfg.num_frames(x.shape[-1]) > LONG_ROUTE_FRAMES):
+        # large pack capacities: the blocked row construction (content-
+        # transparent and bit-identical, so it composes with packing)
+        feat = _blocked_from_audio(x, cfg, None, backend,
+                                   family == "mfcc")
     else:
         feat = _features_from_audio(x, cfg, backend=backend,
                                     apply_dct=(family == "mfcc"))

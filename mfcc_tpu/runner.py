@@ -698,6 +698,10 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
         cache: dict = {}        # uid -> decoded f32 signal
         bad_uids: set = set()
         bufs: dict = {}         # uid -> [feature buffer, frames filled]
+        t_total: dict = {}      # uid -> frame count per the PROBED length
+                                # (the packer's plan; the decoded signal
+                                # may disagree on a corrupt header, and
+                                # the reassembly must follow the plan)
         checked = [rep.max_abs_error is not None]
 
         def fetch(uid):
@@ -719,6 +723,7 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
 
         def infos_gen():
             for p, n in _probe(paths, cfg, on_bad):
+                t_total[p] = cfg.num_frames(int(n))
                 if cfg.num_frames(int(n)) == 0:
                     # shorter than one frame: empty output now (the
                     # packer would silently drop a zero-frame utterance
@@ -796,8 +801,8 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
                             continue
                         ent = bufs.get(pc.uid)
                         if ent is None:
-                            T_u = cfg.num_frames(len(cache[pc.uid]))
-                            ent = [np.zeros((T_u, n_out), np.float32), 0]
+                            ent = [np.zeros((t_total[pc.uid], n_out),
+                                            np.float32), 0]
                             bufs[pc.uid] = ent
                         ent[0][pc.frame_start: pc.frame_start
                                + pc.n_frames] = \
