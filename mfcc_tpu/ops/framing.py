@@ -80,6 +80,11 @@ def center_pad_batch(x: jnp.ndarray, lengths: jnp.ndarray,
     B, N = x.shape
     fl, hop = cfg.frame_len, cfg.hop_len
     P_l, R = cfg.center_left_pad, cfg.center_min_samples
+    if N < R:
+        # batch narrower than the minimum emitting length: every row has
+        # 0 frames, but the tail dynamic_slice below needs R columns
+        x = jnp.concatenate([x, jnp.zeros((B, R - N), x.dtype)], axis=-1)
+        N = R
     T_cap = (N + hop // 2) // hop
     W = max((T_cap - 1) * hop + fl, fl, P_l + N + R)
     left = x[..., :P_l][..., ::-1]

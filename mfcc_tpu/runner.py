@@ -685,7 +685,7 @@ def run(corpus: str, cfg: FeatureConfig, opts: RunnerOptions) -> report.RunRepor
         nonlocal stats
         hop, fl = cfg.hop_len, cfg.frame_len
         capacity = max(int(round(opts.pack_seconds * cfg.sample_rate
-                                 / hop)), -(-fl // hop)) * hop
+                                 / hop)), -(-(fl + hop) // hop)) * hop
         # worst-case pieces per row: 1-frame pieces (span = fl) at
         # hop-aligned starts with a >=1-sample gap -> minimum start
         # spacing is the next hop multiple past fl, ceil((fl+1)/hop)*hop

@@ -184,8 +184,12 @@ def pack_rows_split(infos: Iterable[tuple[object, int]], capacity: int,
     """
     if capacity % hop:
         raise ValueError(f"capacity {capacity} must be a hop multiple")
-    if capacity < frame_len:
-        raise ValueError("capacity must hold at least one frame")
+    if capacity < hop + frame_len:
+        # a CONTINUATION piece starts at row offset hop (its predecessor
+        # slot); anything smaller would emit empty rows forever
+        raise ValueError(f"capacity {capacity} must hold a continuation "
+                         f"piece (>= hop + frame_len = "
+                         f"{hop + frame_len})")
 
     def fit_at(used: int) -> int:
         return ((used + 1 + hop - 1) // hop) * hop if used else 0
