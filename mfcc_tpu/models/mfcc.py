@@ -148,14 +148,26 @@ def _blocked_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
     K = row_frames
     C = -(-T // K)
     W = K * hop + fl
-    head = jnp.zeros((B, hop - 1), x.dtype)
     need = C * K * hop + W
-    tail = jnp.zeros((B, max(need - (N + hop), 0)), x.dtype)
-    xp = jnp.concatenate([head, x[:, :1], x, tail], axis=1)
-    base_b = xp[:, : C * K * hop].reshape(B, C, K * hop)
-    ctx = xp[:, K * hop: (C + 1) * K * hop].reshape(
-        B, C, K * hop)[:, :, :fl]
-    rows = jnp.concatenate([base_b, ctx], axis=-1).reshape(B * C, W)
+    if B == 1:
+        # 1-D assembly: XLA lowers the (1, N) leading-unit versions of
+        # these concats/slices ~2.6x slower at long N (measured r5:
+        # 834.6k vs 322.9k eq-rate for the assembly alone)
+        x1 = x[0]
+        head = jnp.zeros((hop - 1,), x.dtype)
+        tail = jnp.zeros((max(need - (N + hop), 0),), x.dtype)
+        xp = jnp.concatenate([head, x1[:1], x1, tail])
+        base_b = xp[: C * K * hop].reshape(C, K * hop)
+        ctx = xp[K * hop: (C + 1) * K * hop].reshape(C, K * hop)[:, :fl]
+        rows = jnp.concatenate([base_b, ctx], axis=1)
+    else:
+        head = jnp.zeros((B, hop - 1), x.dtype)
+        tail = jnp.zeros((B, max(need - (N + hop), 0)), x.dtype)
+        xp = jnp.concatenate([head, x[:, :1], x, tail], axis=1)
+        base_b = xp[:, : C * K * hop].reshape(B, C, K * hop)
+        ctx = xp[:, K * hop: (C + 1) * K * hop].reshape(
+            B, C, K * hop)[:, :, :fl]
+        rows = jnp.concatenate([base_b, ctx], axis=-1).reshape(B * C, W)
     fr = _features_from_audio(rows, cfg, backend=backend,
                               apply_dct=apply_dct)      # (B*C, K+1, F)
     feat = (fr.reshape(B, C, K + 1, -1)[:, :, 1:, :]
