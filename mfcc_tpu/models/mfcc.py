@@ -161,9 +161,10 @@ def _blocked_from_audio(x: jnp.ndarray, cfg: FeatureConfig,
         ctx = xp[K * hop: (C + 1) * K * hop].reshape(C, K * hop)[:, :fl]
         rows = jnp.concatenate([base_b, ctx], axis=1)
     else:
-        head = jnp.zeros((B, hop - 1), x.dtype)
-        tail = jnp.zeros((B, max(need - (N + hop), 0)), x.dtype)
-        xp = jnp.concatenate([head, x[:, :1], x, tail], axis=1)
+        # pad + one-element set beats the three-way concat by ~5% at
+        # long rows (probe r5: 489.7k vs 464.5k eq-rate at (8, 60 s))
+        xp = jnp.pad(x, ((0, 0), (hop, max(need - (N + hop), 0))))
+        xp = xp.at[:, hop - 1].set(x[:, 0])   # HTK x[-1] := x[0] patch
         base_b = xp[:, : C * K * hop].reshape(B, C, K * hop)
         ctx = xp[:, K * hop: (C + 1) * K * hop].reshape(
             B, C, K * hop)[:, :, :fl]
