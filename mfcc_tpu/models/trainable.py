@@ -34,7 +34,7 @@ import optax
 from ..config import FeatureConfig
 from ..ops import framing, spectrum, dct as dct_op, xmath
 from ..ops.mel import mel_matrix
-from ..parallel.mesh import DATA_AXIS, FEAT_AXIS
+from ..parallel.mesh import FEAT_AXIS
 
 
 class FrontendParams(NamedTuple):
