@@ -14,6 +14,7 @@ proc_id = int(sys.argv[1])
 port = sys.argv[2]
 corpus, out_dir = sys.argv[3], sys.argv[4]
 nproc = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+pack = len(sys.argv) > 6 and sys.argv[6] == 'pack'
 
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -26,7 +27,7 @@ from mfcc_tpu import FeatureConfig, runner
 
 cfg = FeatureConfig(cmvn=True).validate()
 rep = runner.run(corpus, cfg, runner.RunnerOptions(
-    out_dir=out_dir, batch_size=2))
+    out_dir=out_dir, batch_size=2, pack=pack, pack_seconds=2.0))
 assert rep.n_hosts == nproc, rep.n_hosts
 assert rep.n_utterances > 0
 print(f"proc {proc_id}: {rep.n_utterances} utts, "

@@ -103,3 +103,45 @@ def test_multi_process_runner_end_to_end(tmp_path, rng, nproc):
     for r in range(nproc):
         assert (out_dir / f"manifest.{r}.json").exists()
         assert (out_dir / f"run_report.{r}.json").exists()
+
+
+@pytest.mark.slow
+def test_two_process_runner_packed(tmp_path, rng):
+    """--pack on the multi-process runner: each host packs its own
+    corpus shard; global CMVN still reduces across processes; outputs
+    match a single-process unpacked run (r5)."""
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for i in range(7):
+        x = (rng.standard_normal(int(rng.integers(8000, 20000)))
+             * 0.3).astype(np.float32)
+        wav.write_wav(corpus / f"u{i}.wav", x, 16000)
+
+    ref_dir = tmp_path / "ref"
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.argv=['x']; "
+         "from mfcc_tpu import FeatureConfig, runner; "
+         f"runner.run({str(str(corpus))!r}, "
+         "FeatureConfig(cmvn=True).validate(), "
+         f"runner.RunnerOptions(out_dir={str(str(ref_dir))!r}, "
+         "batch_size=2))"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    out_dir = tmp_path / "out"
+    worker = os.path.join(os.path.dirname(__file__), "mp_runner_worker.py")
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), str(port), str(corpus),
+         str(out_dir), "2", "pack"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    for i in range(7):
+        want = np.load(ref_dir / f"u{i}.npy")
+        got = np.load(out_dir / f"u{i}.npy")
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
