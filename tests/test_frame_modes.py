@@ -157,6 +157,29 @@ def test_streaming_rejects_center():
             stb, jnp.zeros((1, 2, 8 * CFG.hop_len)), CFG)
 
 
+@pytest.mark.slow
+def test_center_with_pitch_append(tmp_path, rng):
+    """--frame-mode center --pitch: the pitch track keeps its own valid
+    framing and edge-replicates onto the longer centered main track
+    (align_pitch); the run report's column-separated errors hold."""
+    import json
+    from mfcc_tpu import cli
+    from mfcc_tpu.utils import wav as wavio
+    t = np.arange(32000) / 16000.0
+    x = (0.4 * np.sin(2 * np.pi * 220 * t)
+         + 0.02 * rng.standard_normal(32000)).astype(np.float32)
+    wavio.write_wav(str(tmp_path / "u.wav"), x, 16000)
+    out = tmp_path / "out"
+    rc = cli.main([str(tmp_path / "u.wav"), "-o", str(out),
+                   "--frame-mode", "center", "--pitch"])
+    assert rc == 0
+    feat = np.load(out / "u.npy")
+    assert feat.shape == ((32000 + 80) // 160, 16)
+    rep = json.load(open(out / "run_report.0.json"))
+    assert rep["max_abs_error"] < 1e-4
+    assert rep["max_abs_error_pitch"] < 3e-4
+
+
 def test_center_validation():
     with pytest.raises(ValueError):
         FeatureConfig(frame_mode="same").validate()
