@@ -189,6 +189,17 @@ def main():
         "max_segments": int(Ss),
         "reps": [round(split_audio_sec / r, 1) for r in reps]}
 
+    # ---- r5b: the other frame-local families through the same split-
+    # packed rows (PLP's LPC tail and the spec projection are per-frame,
+    # so packing composes; ragged padded baselines in results.json) ----
+    for fam in ("plp", "spec"):
+        dt, reps = scan_timed(
+            lambda x, fam=fam: mfcc_model.mfcc_batch_packed(
+                x, stsd, lnsd, cfg, family=fam)[0], xsd)
+        results[f"packed_split_{fam}"] = {
+            "real_audio_sec_per_s": round(split_audio_sec / dt, 1),
+            "reps": [round(split_audio_sec / r, 1) for r in reps]}
+
     best = max(results["packed_ragged"]["real_audio_sec_per_s"],
                results["packed_split_ragged"]["real_audio_sec_per_s"])
     results["packed_vs_padded_ragged"] = round(
